@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched physics env-steps/sec on one TPU chip.
+
+BASELINE config #2: 1024 parallel scenes x 64 rigid bodies each (1 static
+ground slab + 63 dynamic boxes), AABB broadphase + impulse solver, no
+rendering.  Target (BASELINE.md): >= 1,000,000 env-steps/sec per v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from scx import physics as ph
+from scx.core import prng
+
+ENVS = 1024
+BODIES = 64
+STEPS_PER_CALL = 60
+MEASURE_CALLS = 5
+TARGET = 1_000_000.0
+
+
+def build_batch(envs: int, n: int) -> ph.RigidBodies:
+    """Hash-seeded box piles, one per env (mirrors the reference's
+    deterministic sector-prop generation pattern)."""
+
+    def one_env(env_idx):
+        seed = prng.jhash_coord_seed(1337, env_idx, 0)
+
+        def body_pos(i):
+            s0 = prng.jmix32(seed + jnp.uint32(i) * jnp.uint32(0x9E3779B9))
+            s1, rx = prng.jrand01(s0)
+            s2, ry = prng.jrand01(s1)
+            _, rz = prng.jrand01(s2)
+            return jnp.stack(
+                [
+                    (rx - 0.5) * 16.0,
+                    0.6 + ry * 6.0,
+                    (rz - 0.5) * 16.0,
+                ]
+            )
+
+        pos = jax.vmap(body_pos)(jnp.arange(n, dtype=jnp.uint32))
+        pos = pos.at[0].set(jnp.asarray([0.0, -0.55, 0.0]))
+        size = jnp.full((n, 3), 0.5).at[0].set(jnp.asarray([16.0, 0.05, 16.0]))
+        body_type = (
+            jnp.full((n,), ph.rigid.BODY_DYNAMIC, jnp.int32)
+            .at[0]
+            .set(ph.rigid.BODY_STATIC)
+        )
+        return ph.make_bodies(pos, size=size, body_type=body_type)
+
+    return jax.vmap(one_env)(jnp.arange(envs, dtype=jnp.int32))
+
+
+def main():
+    params = ph.SolverParams(max_pairs=256, iterations=8)
+
+    def rollout(batch):
+        def step(b, _):
+            return jax.vmap(lambda s: ph.step_bodies(s, params))(b), None
+
+        out, _ = jax.lax.scan(step, batch, None, length=STEPS_PER_CALL)
+        return out
+
+    rollout_jit = jax.jit(rollout, donate_argnums=0)
+
+    batch = build_batch(ENVS, BODIES)
+    batch = rollout_jit(batch)  # compile + warm (also settles the piles a bit)
+    jax.block_until_ready(batch)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_CALLS):
+        batch = rollout_jit(batch)
+    jax.block_until_ready(batch)
+    dt = time.perf_counter() - t0
+
+    env_steps = ENVS * STEPS_PER_CALL * MEASURE_CALLS
+    rate = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "physics_env_steps_per_sec",
+                "value": round(rate, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(rate / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

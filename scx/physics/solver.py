@@ -1,0 +1,175 @@
+"""Batched impulse contact solver + full physics step.
+
+Replaces Bullet's sequential-impulse solver (the reference steps
+btDiscreteDynamicsWorld at fixed dt, sc_physics.cpp:283-302) with a
+relaxed-Jacobi projected impulse solver: every iteration computes all contact
+impulses in parallel from the current velocities and scatter-adds the result.
+Sequential Gauss-Seidel is hostile to SIMD lanes; Jacobi with under-relaxation
+converges to the same fixed point for these contact counts and keeps the whole
+solve a handful of fused VPU passes per iteration.
+
+Semantics matched to Bullet (not bitwise): Baumgarte stabilization (ERP-style
+velocity bias), restitution with threshold, Coulomb friction clamped by the
+accumulated normal impulse, multiplicative friction/restitution combiners,
+damping as (1-d)^dt.
+
+Everything is shape-static: fixed pair capacity, fixed contact capacity,
+masked inactive lanes. vmap over the leading env axis gives batched scenes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from scx.core import math3d as m3
+from scx.physics.rigid import (
+    RigidBodies,
+    integrate_positions,
+    integrate_velocities,
+    inv_inertia_world,
+)
+from scx.physics.broadphase import broadphase_pairs
+from scx.physics.contacts import generate_contacts, MAX_CONTACTS_PER_PAIR
+
+
+@struct.dataclass
+class SolverParams:
+    gravity: float = struct.field(pytree_node=False, default=-9.81)
+    dt: float = struct.field(pytree_node=False, default=1.0 / 60.0)
+    iterations: int = struct.field(pytree_node=False, default=8)
+    baumgarte: float = struct.field(pytree_node=False, default=0.2)
+    slop: float = struct.field(pytree_node=False, default=0.005)
+    restitution_threshold: float = struct.field(pytree_node=False, default=1.0)
+    relaxation: float = struct.field(pytree_node=False, default=0.8)
+    max_pairs: int = struct.field(pytree_node=False, default=128)
+
+
+def _orthonormal_tangents(n):
+    """Two tangents per normal, branch-free (choose helper axis by |n.x|)."""
+    helper = jnp.where(
+        (jnp.abs(n[..., 0:1]) < 0.9),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), n.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), n.shape),
+    )
+    t1 = m3.normalize(jnp.cross(n, helper))
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
+    """Iterative velocity solve; returns updated (vel, omega)."""
+    c_valid = contacts.valid
+    ia, ib = contacts.ia, contacts.ib
+    n = contacts.normal
+    t1, t2 = _orthonormal_tangents(n)
+
+    im_a = bodies.inv_mass[ia]
+    im_b = bodies.inv_mass[ib]
+    iw = inv_inertia_world(bodies)
+    iw_a = iw[ia]
+    iw_b = iw[ib]
+    r_a = contacts.point - bodies.pos[ia]
+    r_b = contacts.point - bodies.pos[ib]
+
+    def ang(iw_x, r, d):
+        return jnp.einsum("...ij,...j->...i", iw_x, jnp.cross(r, d), precision=m3.PRECISION)
+
+    def eff_mass(d, a_a, a_b):
+        return (
+            im_a
+            + im_b
+            + m3.dot(d, jnp.cross(a_a, r_a) + jnp.cross(a_b, r_b))
+        )
+
+    a_an, a_bn = ang(iw_a, r_a, n), ang(iw_b, r_b, n)
+    a_a1, a_b1 = ang(iw_a, r_a, t1), ang(iw_b, r_b, t1)
+    a_a2, a_b2 = ang(iw_a, r_a, t2), ang(iw_b, r_b, t2)
+    kn = jnp.maximum(eff_mass(n, a_an, a_bn), 1e-9)
+    k1 = jnp.maximum(eff_mass(t1, a_a1, a_b1), 1e-9)
+    k2 = jnp.maximum(eff_mass(t2, a_a2, a_b2), 1e-9)
+
+    def rel_vel(vel, omega):
+        va = vel[ia] + jnp.cross(omega[ia], r_a)
+        vb = vel[ib] + jnp.cross(omega[ib], r_b)
+        return va - vb
+
+    # restitution uses pre-solve normal velocity
+    v0 = rel_vel(bodies.vel, bodies.omega)
+    vn0 = m3.dot(v0, n)
+    bounce = -contacts.restitution * jnp.where(
+        vn0 < -params.restitution_threshold, vn0, 0.0
+    )
+    bias = (params.baumgarte / params.dt) * jnp.maximum(
+        contacts.depth - params.slop, 0.0
+    )
+    target = jnp.maximum(bounce, bias)  # desired separating normal velocity
+
+    # Jacobi step scaling: a body touched by k contacts receives k impulses
+    # per iteration computed from the same stale velocity, which overshoots
+    # by ~k and can oscillate. Scale each contact's step by 1/max(k_a, k_b):
+    # the projected fixed point is unchanged, convergence becomes monotone.
+    nb = bodies.n
+    cnt = jnp.zeros((nb,), jnp.float32)
+    cnt = cnt.at[ia].add(c_valid.astype(jnp.float32), mode="drop")
+    cnt = cnt.at[ib].add(c_valid.astype(jnp.float32), mode="drop")
+    touch_a = jnp.where(im_a > 0, cnt[ia], 1.0)
+    touch_b = jnp.where(im_b > 0, cnt[ib], 1.0)
+    relax = params.relaxation / jnp.maximum(jnp.maximum(touch_a, touch_b), 1.0)
+
+    def iteration(carry, _):
+        vel, omega, ln, l1, l2 = carry
+        v = rel_vel(vel, omega)
+        vn = m3.dot(v, n)
+
+        d_ln = (target - vn) / kn * relax
+        ln_new = jnp.maximum(ln + d_ln, 0.0)
+        d_ln = jnp.where(c_valid, ln_new - ln, 0.0)
+        ln_new = ln + d_ln
+
+        max_f = contacts.friction * ln_new
+        v = rel_vel(vel, omega)  # note: friction uses pre-normal-update vel (Jacobi)
+        vt1 = m3.dot(v, t1)
+        vt2 = m3.dot(v, t2)
+        d_l1 = -vt1 / k1 * relax
+        d_l2 = -vt2 / k2 * relax
+        l1_new = jnp.clip(l1 + d_l1, -max_f, max_f)
+        l2_new = jnp.clip(l2 + d_l2, -max_f, max_f)
+        d_l1 = jnp.where(c_valid, l1_new - l1, 0.0)
+        d_l2 = jnp.where(c_valid, l2_new - l2, 0.0)
+        l1_new = l1 + d_l1
+        l2_new = l2 + d_l2
+
+        imp = d_ln[:, None] * n + d_l1[:, None] * t1 + d_l2[:, None] * t2
+        dw_a = a_an * d_ln[:, None] + a_a1 * d_l1[:, None] + a_a2 * d_l2[:, None]
+        dw_b = a_bn * d_ln[:, None] + a_b1 * d_l1[:, None] + a_b2 * d_l2[:, None]
+
+        vel = vel.at[ia].add(imp * im_a[:, None], mode="drop")
+        vel = vel.at[ib].add(-imp * im_b[:, None], mode="drop")
+        omega = omega.at[ia].add(dw_a, mode="drop")
+        omega = omega.at[ib].add(-dw_b, mode="drop")
+        return (vel, omega, ln_new, l1_new, l2_new), None
+
+    zeros_c = jnp.zeros_like(kn)
+    (vel, omega, *_), _ = jax.lax.scan(
+        iteration,
+        (bodies.vel, bodies.omega, zeros_c, zeros_c, zeros_c),
+        None,
+        length=params.iterations,
+    )
+    del nb
+    return vel, omega
+
+
+def step_bodies(bodies: RigidBodies, params: SolverParams) -> RigidBodies:
+    """One fixed physics step: integrate forces -> contacts -> solve -> move.
+
+    Pure and shape-static; vmap over scenes, lax.scan over substeps.
+    """
+    bodies = integrate_velocities(bodies, params.dt, params.gravity)
+    ia, ib, pair_valid = broadphase_pairs(bodies, params.max_pairs)
+    contacts = generate_contacts(bodies, ia, ib, pair_valid)
+    vel, omega = solve_velocity(bodies, contacts, params)
+    bodies = bodies.replace(vel=vel, omega=omega)
+    return integrate_positions(bodies, params.dt)
