@@ -1,0 +1,209 @@
+"""Pallas TPU tiled software rasterizer — the engine's Vulkan replacement.
+
+Visibility + attribute interpolation for one framebuffer tile per grid
+program.  The pipeline (scx.render.pipeline) pre-bins triangle setup into a
+padded [n_tiles, K, F] array ordered by tile, so each program STREAMS its
+block sequentially — zero random access inside the kernel; Pallas's grid
+pipeline overlaps the HBM->VMEM copies of tile t+1 with the compute of t.
+
+Per triangle: three edge functions evaluated over the tile's (th x tw) pixel
+lattice (VPU), perspective-correct barycentric interpolation via
+premultiplied 1/w attributes, z-buffer test in RH zero-to-one depth (smaller
+= closer, matching the reference's perspective, sc_math.cpp:209-232).
+
+Outputs a planar G-buffer: depth [H,W] and attrs [6,H,W] (rgb, uv, material
+id); texturing happens afterwards in XLA where gathers are cheap
+(deferred shading) — per-lane gathers inside a TPU kernel are not.
+
+Invalid / padded triangle slots are skipped with pl.when, so sparsely
+occupied tiles cost only the scalar loop overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scx.render import pipeline as pipe
+
+N_ATTR = 6  # r, g, b, u, v, mat
+
+
+def _raster_tile_kernel(binned_ref, depth_ref, attr_ref, *, params):
+    th, tw = params.tile_h, params.tile_w
+    k_max = params.max_tris_per_tile
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    depth_ref[:] = jnp.ones((th, tw), jnp.float32)
+    attr_ref[:] = jnp.zeros((N_ATTR, th, tw), jnp.float32)
+
+    py = (
+        jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+        + ty.astype(jnp.float32) * th
+        + 0.5
+    )
+    px = (
+        jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+        + tx.astype(jnp.float32) * tw
+        + 0.5
+    )
+
+    def body(k, _):
+        valid = binned_ref[0, k, pipe.F_VALID] > 0.0
+
+        @pl.when(valid)
+        def _():
+            s = lambda f: binned_ref[0, k, f]
+            x0, x1, x2 = s(pipe.F_X), s(pipe.F_X + 1), s(pipe.F_X + 2)
+            y0, y1, y2 = s(pipe.F_Y), s(pipe.F_Y + 1), s(pipe.F_Y + 2)
+
+            # edge functions (e_i opposite vertex i); sum = 2*area
+            e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+            e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+            area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+            sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
+            cov = (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
+
+            inv_area = 1.0 / area2  # guarded non-zero by setup cull
+            l0 = e0 * inv_area
+            l1 = e1 * inv_area
+            l2 = e2 * inv_area
+
+            z = l0 * s(pipe.F_ZW) + l1 * s(pipe.F_ZW + 1) + l2 * s(pipe.F_ZW + 2)
+            iw = l0 * s(pipe.F_IW) + l1 * s(pipe.F_IW + 1) + l2 * s(pipe.F_IW + 2)
+
+            depth = depth_ref[:]
+            mask = cov & (z < depth) & (z >= 0.0)
+            depth_ref[:] = jnp.where(mask, z, depth)
+
+            inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
+
+            def interp(base):
+                return (
+                    l0 * s(base) + l1 * s(base + 1) + l2 * s(base + 2)
+                ) * inv_iw
+
+            attrs = attr_ref[:]
+            new = jnp.stack(
+                [
+                    interp(pipe.F_COL + 0),      # r (vertex-major premult:
+                    interp(pipe.F_COL + 3),      # g  col[v][c] flat = v*3+c)
+                    interp(pipe.F_COL + 6),      # b
+                    interp(pipe.F_UV + 0),       # u
+                    interp(pipe.F_UV + 3),       # v
+                    jnp.broadcast_to(s(pipe.F_MAT), (th, tw)),
+                ]
+            )
+            attr_ref[:] = jnp.where(mask[None, :, :], new, attrs)
+
+    jax.lax.fori_loop(0, k_max, body, None)
+
+
+def rasterize_tiles(binned, params) -> dict:
+    """binned: [n_tiles, K, N_FIELDS] -> G-buffer dict (depth/color/uv/mat).
+
+    Note the color field layout in binned is [vertex][channel] flattened; the
+    kernel's interp indexes stride-3 accordingly.
+    """
+    nty, ntx = params.tiles_y, params.tiles_x
+    th, tw = params.tile_h, params.tile_w
+    h_pad, w_pad = nty * th, ntx * tw
+
+    kernel = functools.partial(_raster_tile_kernel, params=params)
+    depth, attrs = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (1, params.max_tris_per_tile, pipe.N_FIELDS),
+                lambda ty, tx: (ty * ntx + tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N_ATTR, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((N_ATTR, h_pad, w_pad), jnp.float32),
+        ],
+        interpret=params.interpret,
+    )(binned)
+
+    h, w = params.height, params.width
+    depth = depth[:h, :w]
+    attrs = attrs[:, :h, :w]
+    return {
+        "depth": depth,
+        "color": jnp.moveaxis(attrs[0:3], 0, -1),
+        "uv": jnp.moveaxis(attrs[3:5], 0, -1),
+        "mat": attrs[5].astype(jnp.int32),
+        "covered": depth < 1.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference rasterizer (golden tests, CPU fallback, tiny images)
+# ---------------------------------------------------------------------------
+
+def rasterize_reference(setup, params) -> dict:
+    """Same math as the kernel, brute force over all pixels x triangles via
+    lax.scan — O(T*H*W), for validation only."""
+    h, w = params.height, params.width
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+
+    def tri_step(carry, s):
+        depth, attrs = carry
+        x0, x1, x2 = s[pipe.F_X], s[pipe.F_X + 1], s[pipe.F_X + 2]
+        y0, y1, y2 = s[pipe.F_Y], s[pipe.F_Y + 1], s[pipe.F_Y + 2]
+        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
+        cov = (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
+        inv_area = 1.0 / jnp.where(area2 == 0, 1e-9, area2)
+        l0, l1, l2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+        z = l0 * s[pipe.F_ZW] + l1 * s[pipe.F_ZW + 1] + l2 * s[pipe.F_ZW + 2]
+        iw = l0 * s[pipe.F_IW] + l1 * s[pipe.F_IW + 1] + l2 * s[pipe.F_IW + 2]
+        mask = cov & (z < depth) & (z >= 0.0) & (s[pipe.F_VALID] > 0)
+        inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
+
+        def interp(base):
+            return (l0 * s[base] + l1 * s[base + 1] + l2 * s[base + 2]) * inv_iw
+
+        new = jnp.stack(
+            [
+                interp(pipe.F_COL + 0),
+                interp(pipe.F_COL + 3),
+                interp(pipe.F_COL + 6),
+                interp(pipe.F_UV + 0),
+                interp(pipe.F_UV + 3),
+                jnp.broadcast_to(s[pipe.F_MAT], (h, w)),
+            ]
+        )
+        depth = jnp.where(mask, z, depth)
+        attrs = jnp.where(mask[None], new, attrs)
+        return (depth, attrs), None
+
+    depth0 = jnp.ones((h, w), jnp.float32)
+    attrs0 = jnp.zeros((N_ATTR, h, w), jnp.float32)
+    (depth, attrs), _ = jax.lax.scan(tri_step, (depth0, attrs0), setup)
+    return {
+        "depth": depth,
+        "color": jnp.moveaxis(attrs[0:3], 0, -1),
+        "uv": jnp.moveaxis(attrs[3:5], 0, -1),
+        "mat": attrs[5].astype(jnp.int32),
+        "covered": depth < 1.0,
+    }

@@ -1,0 +1,309 @@
+"""Frame pipeline: draw expansion -> clip transform -> bin -> raster -> shade.
+
+TPU-native replacement for the Vulkan draw path (reference
+sc_vk.cpp:1711-1958 beginFrame: sort draws, bind pipelines, vkCmdDrawIndexed).
+Here a frame is data, not commands:
+
+  1. expand_draws: the draw list (meshId, materialId, model — the reference's
+     DrawItem, sc_ecs.h:160-170) becomes a fixed-capacity triangle soup via a
+     cumsum/searchsorted gather over the baked mesh pool.
+  2. setup_triangles: model+viewProj transform (one MXU matmul), near-plane
+     and backface cull, viewport mapping, perspective-correct attribute
+     premultiplication.
+  3. bin_triangles: each triangle emits (tile, tri) pairs for the screen
+     tiles its AABB covers; ONE sort orders emissions by tile; per-tile runs
+     are gathered into a padded [tiles, K] setup array the Pallas kernel can
+     stream sequentially (no random access in-kernel).
+  4. rasterize (scx.ops.raster): per-tile Pallas kernel -> G-buffer
+     (depth + vertex color + uv + material id).
+  5. shade: deferred texturing in XLA — material table lookup + bilinear
+     atlas sample x vertex color (the reference's textured pipeline,
+     assets/shaders/mesh_tex.frag) — gathers belong in XLA, not the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from scx.core import math3d as m3
+from scx.render.mesh import MeshPool
+
+# setup-field layout (keep in sync with scx.ops.raster)
+F_X = 0          # +3
+F_Y = 3          # +3
+F_ZW = 6         # +3 (NDC z/w per vertex, 0..1)
+F_IW = 9         # +3 (1/w per vertex)
+F_COL = 12       # +9 (color premultiplied by 1/w, vertex-major)
+F_UV = 21        # +6 (uv premultiplied by 1/w)
+F_MAT = 27       # material id as float
+F_VALID = 28     # > 0 when triangle live
+N_FIELDS = 32    # padded
+
+
+@struct.dataclass
+class DrawList:
+    """The reference's per-frame DrawItem list (sc_ecs.h:160-170)."""
+
+    mesh_id: jax.Array      # [D] i32
+    material_id: jax.Array  # [D] i32
+    model: jax.Array        # [D,4,4] f32
+    valid: jax.Array        # [D] bool
+
+
+@struct.dataclass
+class RasterParams:
+    width: int = struct.field(pytree_node=False, default=1280)
+    height: int = struct.field(pytree_node=False, default=720)
+    tile_h: int = struct.field(pytree_node=False, default=16)
+    tile_w: int = struct.field(pytree_node=False, default=128)
+    max_tris: int = struct.field(pytree_node=False, default=131072)
+    max_tris_per_tile: int = struct.field(pytree_node=False, default=256)
+    emission_factor: int = struct.field(pytree_node=False, default=4)
+    cull_backface: bool = struct.field(pytree_node=False, default=True)
+    interpret: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def max_emissions(self) -> int:
+        return self.emission_factor * self.max_tris
+
+
+def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
+    """Flatten the draw list into per-triangle (draw_idx, tri_idx) pairs.
+
+    Returns (tri_draw [T], tri_pool [T], live [T]) with T = max_tris; draws
+    beyond capacity are dropped (the draw-budget semantics of the reference's
+    maxDraws, sc_world_partition.h:311).
+    """
+    counts = jnp.where(draws.valid, pool.mesh_tri_count[draws.mesh_id], 0)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    starts = cum - counts
+    e = jnp.arange(max_tris, dtype=jnp.int32)
+    draw_idx = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    draw_idx = jnp.minimum(draw_idx, counts.shape[0] - 1)
+    local = e - starts[draw_idx]
+    live = e < total
+    tri_pool = pool.mesh_first_tri[draws.mesh_id[draw_idx]] + local
+    return draw_idx, tri_pool, live
+
+
+def setup_triangles(
+    draws: DrawList,
+    pool: MeshPool,
+    view_proj,
+    params: RasterParams,
+):
+    """Build the [T, N_FIELDS] screen-space setup buffer."""
+    draw_idx, tri_pool, live = expand_draws(draws, pool, params.max_tris)
+
+    vidx = pool.tris[tri_pool]                     # [T,3]
+    verts = pool.verts[vidx]                       # [T,3,8]
+    model = draws.model[draw_idx]                  # [T,4,4]
+    mvp = jnp.einsum(
+        "ij,tjk->tik", view_proj, model, precision=m3.PRECISION
+    )                                              # [T,4,4]
+    pos_h = jnp.concatenate(
+        [verts[..., 0:3], jnp.ones_like(verts[..., :1])], axis=-1
+    )                                              # [T,3,4]
+    clip = jnp.einsum("tij,tvj->tvi", mvp, pos_h, precision=m3.PRECISION)
+
+    w = clip[..., 3]
+    near_ok = jnp.all(w > 1e-4, axis=-1)
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    ndc = clip[..., 0:3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * params.width
+    sy = (ndc[..., 1] * 0.5 + 0.5) * params.height
+    zw = ndc[..., 2]
+
+    # signed area in screen space; cull degenerate + backfacing
+    ax = sx[:, 1] - sx[:, 0]
+    ay = sy[:, 1] - sy[:, 0]
+    bx = sx[:, 2] - sx[:, 0]
+    by = sy[:, 2] - sy[:, 0]
+    area2 = ax * by - ay * bx
+    # convention: meshes are authored CCW-outward in y-up right-handed space;
+    # after the RH-ZO projection's Vulkan Y flip a front face lands with
+    # NEGATIVE signed area in pixel coordinates.
+    if params.cull_backface:
+        face_ok = area2 < -1e-6
+    else:
+        face_ok = jnp.abs(area2) > 1e-6
+
+    # off-screen cull
+    xmin = jnp.min(sx, -1)
+    xmax = jnp.max(sx, -1)
+    ymin = jnp.min(sy, -1)
+    ymax = jnp.max(sy, -1)
+    on_screen = (
+        (xmax >= 0.0) & (xmin < params.width) & (ymax >= 0.0) & (ymin < params.height)
+    )
+    # depth-range cull
+    z_ok = (jnp.max(zw, -1) >= 0.0) & (jnp.min(zw, -1) <= 1.0)
+
+    valid = live & near_ok & face_ok & on_screen & z_ok
+
+    color = verts[..., 3:6] * inv_w[..., None]     # [T,3,3]
+    uv = verts[..., 6:8] * inv_w[..., None]        # [T,3,2]
+    mat = draws.material_id[draw_idx].astype(jnp.float32)
+
+    t = params.max_tris
+    setup = jnp.zeros((t, N_FIELDS), jnp.float32)
+    setup = setup.at[:, F_X : F_X + 3].set(sx)
+    setup = setup.at[:, F_Y : F_Y + 3].set(sy)
+    setup = setup.at[:, F_ZW : F_ZW + 3].set(zw)
+    setup = setup.at[:, F_IW : F_IW + 3].set(inv_w)
+    # channel-major packing: field F_COL + 3*channel + vertex (the kernel
+    # interpolates s(base), s(base+1), s(base+2) across the three vertices)
+    setup = setup.at[:, F_COL : F_COL + 9].set(
+        jnp.swapaxes(color, 1, 2).reshape(t, 9)
+    )
+    setup = setup.at[:, F_UV : F_UV + 6].set(jnp.swapaxes(uv, 1, 2).reshape(t, 6))
+    setup = setup.at[:, F_MAT].set(mat)
+    setup = setup.at[:, F_VALID].set(valid.astype(jnp.float32))
+
+    aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+    return setup, aabb, valid
+
+
+def bin_triangles(setup, aabb, valid, params: RasterParams):
+    """Tile binning: emissions -> one sort -> padded per-tile setup.
+
+    Returns binned setup [n_tiles, K, N_FIELDS] plus per-tile counts (stats).
+    """
+    t = params.max_tris
+    ntx, nty = params.tiles_x, params.tiles_y
+    tx0 = jnp.clip(jnp.floor(aabb[:, 0] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(aabb[:, 1] / params.tile_h), 0, nty - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(aabb[:, 2] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(aabb[:, 3] / params.tile_h), 0, nty - 1).astype(jnp.int32)
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    n_emit = jnp.where(valid, span_x * span_y, 0)
+
+    cum = jnp.cumsum(n_emit)
+    total = cum[-1]
+    starts = cum - n_emit
+
+    e_max = params.max_emissions
+    e = jnp.arange(e_max, dtype=jnp.int32)
+    tri = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    tri = jnp.minimum(tri, t - 1)
+    local = e - starts[tri]
+    live = e < total
+    ty = ty0[tri] + local // jnp.maximum(span_x[tri], 1)
+    tx = tx0[tri] + local % jnp.maximum(span_x[tri], 1)
+    tile = ty * ntx + tx
+
+    # one sort: key = tile * T + emission order (stable within tile)
+    key = jnp.where(live, tile * t + e % t, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    sorted_tile = jnp.where(live[order], tile[order], params.n_tiles)
+    sorted_tri = tri[order]
+
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(params.n_tiles + 1, dtype=jnp.int32), side="left"
+    )
+    counts = jnp.diff(tile_start)
+
+    k = params.max_tris_per_tile
+    slot = jnp.arange(k, dtype=jnp.int32)
+    gather_idx = tile_start[:-1, None] + slot[None, :]
+    in_range = slot[None, :] < counts[:, None]
+    gather_idx = jnp.minimum(gather_idx, e_max - 1)
+    tri_ids = jnp.where(in_range, sorted_tri[gather_idx], 0)
+
+    binned = setup[tri_ids]  # [tiles, K, F]
+    binned = binned.at[:, :, F_VALID].set(
+        jnp.where(in_range, binned[:, :, F_VALID], 0.0)
+    )
+    return binned, counts
+
+
+@struct.dataclass
+class Materials:
+    """Material table (AssetManager materials, sc_assets.cpp:321-364):
+    albedo texture + flags; unlit color modulation."""
+
+    texture_id: jax.Array  # [M] i32, -1 = vertex color only
+    tint: jax.Array        # [M,3] f32
+
+
+def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07, 0.1)):
+    """Deferred shading: texture sample x interpolated vertex color.
+
+    gbuffer: dict with 'depth' [H,W], 'color' [H,W,3], 'uv' [H,W,2],
+    'mat' [H,W] i32, 'covered' [H,W] bool.
+    textures: [NT, TH, TW, 3] f32 texture array (None -> vertex color only).
+    """
+    color = gbuffer["color"]
+    covered = gbuffer["covered"]
+    if materials is not None and textures is not None:
+        mat = jnp.clip(gbuffer["mat"], 0, materials.texture_id.shape[0] - 1)
+        tex_id = materials.texture_id[mat]
+        tint = materials.tint[mat]
+        nt, th, tw, _ = textures.shape
+        uv = gbuffer["uv"]
+        u = uv[..., 0] * tw - 0.5
+        v = uv[..., 1] * th - 0.5
+        u0 = jnp.floor(u)
+        v0 = jnp.floor(v)
+        fu = (u - u0)[..., None]
+        fv = (v - v0)[..., None]
+
+        def tap(du, dv):
+            ui = jnp.clip(u0.astype(jnp.int32) + du, 0, tw - 1)
+            vi = jnp.clip(v0.astype(jnp.int32) + dv, 0, th - 1)
+            safe_tex = jnp.clip(tex_id, 0, nt - 1)
+            return textures[safe_tex, vi, ui]
+
+        bilinear = (
+            tap(0, 0) * (1 - fu) * (1 - fv)
+            + tap(1, 0) * fu * (1 - fv)
+            + tap(0, 1) * (1 - fu) * fv
+            + tap(1, 1) * fu * fv
+        )
+        textured = jnp.where((tex_id >= 0)[..., None], bilinear, 1.0)
+        color = color * textured * tint
+    bg = jnp.asarray(background)
+    return jnp.where(covered[..., None], color, bg)
+
+
+def render_frame(
+    draws: DrawList,
+    pool: MeshPool,
+    view_proj,
+    params: RasterParams,
+    materials: Materials | None = None,
+    textures=None,
+):
+    """Full frame: returns (rgb [H,W,3], gbuffer dict, stats dict)."""
+    from scx.ops import raster as raster_ops
+
+    setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
+    binned, counts = bin_triangles(setup, aabb, valid, params)
+    gbuffer = raster_ops.rasterize_tiles(binned, params)
+    rgb = shade(gbuffer, materials, textures)
+    stats = {
+        "tris_in": jnp.sum(valid.astype(jnp.int32)),
+        "max_tile_occupancy": jnp.max(counts),
+        "tile_overflow": jnp.sum(
+            (counts > params.max_tris_per_tile).astype(jnp.int32)
+        ),
+    }
+    return rgb, gbuffer, stats

@@ -1,0 +1,117 @@
+"""Streaming state machine: load/activate/unload cycle, budgets, pinning,
+authored-sector loading, no-recompile guarantee."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from scx import state as st
+from scx.core.config import StreamingBudgets, WorldPartitionConfig
+from scx.world import format as wf
+from scx.world.streaming import SectorState, WorldPartition
+
+
+def pump(wp, state, pos, fwd=(0.0, 0.0, -1.0), frames=30, sleep=0.01):
+    for _ in range(frames):
+        state = wp.update(state, pos, fwd)
+        time.sleep(sleep)
+    return state
+
+
+def test_load_activate_cycle():
+    cfg = WorldPartitionConfig(load_radius=1, unload_radius=2)
+    bud = StreamingBudgets(max_activations_per_frame=2, max_concurrent_loads=4)
+    wp = WorldPartition(cfg, bud, capacity=2048)
+    state = st.alloc_entity_state(2048)
+    state = pump(wp, state, (32.0, 0.0, 32.0))
+    # 3x3 = 9 sectors should be active
+    assert wp.stats.active_sectors == 9, wp.stats
+    assert wp.stats.entities > 9 * 12  # ground + >=12 props per sector
+    assert int(st.entity_count(state)) == wp.stats.entities
+    # entity content: sector column assigned; static colliders spawned
+    alive = np.asarray(state.alive)
+    assert np.asarray(state.body.body_type)[alive].max() == st.BODY_STATIC
+    wp.shutdown()
+
+
+def test_unload_when_camera_moves():
+    cfg = WorldPartitionConfig(load_radius=1, unload_radius=1)
+    bud = StreamingBudgets(max_activations_per_frame=4, max_despawns_per_frame=256)
+    wp = WorldPartition(cfg, bud, capacity=2048)
+    state = st.alloc_entity_state(2048)
+    state = pump(wp, state, (0.0, 0.0, 0.0))
+    n0 = wp.stats.entities
+    assert wp.stats.active_sectors == 9
+    # jump far away: old sectors unload, new ones load
+    state = pump(wp, state, (64.0 * 10, 0.0, 0.0), frames=40)
+    assert wp.stats.active_sectors == 9
+    coords = {c for c, s in wp.sectors.items() if s.state == SectorState.ACTIVE}
+    assert all(abs(c[0] - 10) <= 1 and abs(c[1]) <= 1 for c in coords)
+    assert wp.stats.entities <= n0 + 9 * 36
+    wp.shutdown()
+
+
+def test_sector_budget_respected():
+    cfg = WorldPartitionConfig(load_radius=3, unload_radius=4)  # wants 49
+    bud = StreamingBudgets(max_active_sectors=10, max_activations_per_frame=4)
+    wp = WorldPartition(cfg, bud, capacity=4096)
+    state = st.alloc_entity_state(4096)
+    state = pump(wp, state, (0.0, 0.0, 0.0), frames=40)
+    assert wp.stats.active_sectors <= 10
+    assert wp.stats.rejected_by_sector_budget > 0
+    wp.shutdown()
+
+
+def test_pinned_sector_stays():
+    cfg = WorldPartitionConfig(load_radius=1, unload_radius=1)
+    bud = StreamingBudgets()
+    wp = WorldPartition(cfg, bud, capacity=2048)
+    wp.pin_sector((5, 5))
+    state = st.alloc_entity_state(2048)
+    state = pump(wp, state, (0.0, 0.0, 0.0))
+    assert wp.sectors[(5, 5)].state == SectorState.ACTIVE
+    state = pump(wp, state, (64.0 * 20, 0.0, 64.0 * 20), frames=40)
+    assert wp.sectors[(5, 5)].state == SectorState.ACTIVE  # pinned survives
+    wp.shutdown()
+
+
+def test_authored_sector_file_preferred(tmp_path):
+    root = str(tmp_path)
+    coord = wf.SectorCoord(0, 0)
+    sf = wf.SectorFile(
+        sector=coord,
+        instances=[
+            wf.Instance(
+                id=1,
+                mesh_id=10951067050762278870,  # meshes/cube
+                material_id=14220093428960559404,  # materials/unlit
+                transform=wf.Transform((5.0, 1.0, 5.0), (0, 0, 0), (2, 2, 2)),
+                name="Authored",
+            )
+        ],
+    )
+    wf.write_sector_file(wf.build_sector_path(root, coord), sf)
+
+    cfg = WorldPartitionConfig(load_radius=0, unload_radius=1)
+    bud = StreamingBudgets()
+    wp = WorldPartition(cfg, bud, capacity=256, world_root=root)
+    state = st.alloc_entity_state(256)
+    state = pump(wp, state, (1.0, 0.0, 1.0))
+    assert wp.stats.active_sectors == 1
+    assert wp.stats.entities == 1  # authored file: exactly one instance
+    alive = np.where(np.asarray(state.alive))[0]
+    np.testing.assert_allclose(
+        np.asarray(state.transform.pos[alive[0]]), [5.0, 1.0, 5.0], atol=1e-6
+    )
+    wp.shutdown()
+
+
+def test_freeze_streaming_debug_toggle():
+    cfg = WorldPartitionConfig(load_radius=1, unload_radius=2)
+    wp = WorldPartition(cfg, StreamingBudgets(), capacity=2048)
+    wp.frozen = True
+    state = st.alloc_entity_state(2048)
+    state = pump(wp, state, (0.0, 0.0, 0.0), frames=10)
+    assert wp.stats.active_sectors == 0  # frozen: nothing scheduled
+    wp.shutdown()
