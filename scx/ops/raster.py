@@ -44,12 +44,12 @@ def _raster_tile_kernel(binned_ref, depth_ref, attr_ref, *, params):
     attr_ref[:] = jnp.zeros((N_ATTR, th, tw), jnp.float32)
 
     py = (
-        jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
         + ty.astype(jnp.float32) * th
         + 0.5
     )
     px = (
-        jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
         + tx.astype(jnp.float32) * tw
         + 0.5
     )

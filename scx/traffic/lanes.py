@@ -1,0 +1,270 @@
+"""Traffic lane graph: host builder + device arrays + vectorized queries.
+
+The reference maintains a node/segment graph with quantized-position node
+dedup and per-sector segment ownership (sc_traffic_lanes.h:13-30,
+sc_traffic_lanes.cpp:65-155), generates a 4-lane cross per sector (two lanes
+per axis offset +-laneWidth/2, :158-225), deactivates a sector's segments on
+unload (:227-237), and answers nearest-lane / advance-along-lane queries
+(:239-352).
+
+Here the graph is built on the host (streaming already runs there) into
+fixed-capacity numpy arrays and uploaded as a LaneArrays pytree; the agent
+queries (nearest lane for every agent, look-ahead for every agent) are pure
+jnp functions that vectorize over agents x segments in one pass.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from scx.core import math3d as m3
+
+INVALID_LANE = -1
+MAX_CONNECTIONS = 4
+DEFAULT_LANE_WIDTH = 3.5   # sc_traffic_lanes.h:93
+DEFAULT_SPEED_LIMIT = 12.0  # sc_traffic_lanes.h:94
+
+
+@struct.dataclass
+class LaneArrays:
+    """Device copy of the graph, fixed capacity (pad with inactive)."""
+
+    node_pos: jax.Array      # [Ln,3]
+    node_conn: jax.Array     # [Ln,MAX_CONNECTIONS] segment id or -1
+    seg_start: jax.Array     # [Ls] node index
+    seg_end: jax.Array       # [Ls]
+    seg_dir: jax.Array       # [Ls,3]
+    seg_len: jax.Array       # [Ls]
+    seg_speed: jax.Array     # [Ls] speed limit at start node
+    seg_active: jax.Array    # [Ls] bool
+
+
+class LaneGraphBuilder:
+    """Host-side graph builder mirroring TrafficLaneGraph."""
+
+    def __init__(self, lane_width=DEFAULT_LANE_WIDTH, speed_limit=DEFAULT_SPEED_LIMIT,
+                 max_nodes=1024, max_segments=1024):
+        self.lane_width = lane_width
+        self.speed_limit = speed_limit
+        self.max_nodes = max_nodes
+        self.max_segments = max_segments
+        self.nodes: list[dict] = []
+        self.segments: list[dict] = []
+        self._lookup: dict[tuple, int] = {}
+        self.sector_segments: dict[tuple, list[int]] = {}
+        self.dirty = True
+
+    @staticmethod
+    def _quant(v, scale):
+        s = v * scale
+        return int(math.floor(s + (0.5 if s >= 0 else -0.5)))
+
+    def _key(self, pos, dir):
+        # pos quantized to 0.25m, dir to 1e-3 (sc_traffic_lanes.cpp:30-44)
+        return (
+            self._quant(pos[0], 4.0), self._quant(pos[1], 4.0), self._quant(pos[2], 4.0),
+            self._quant(dir[0], 1000.0), self._quant(dir[1], 1000.0), self._quant(dir[2], 1000.0),
+        )
+
+    def add_node(self, pos, dir, speed_limit=None) -> int:
+        key = self._key(pos, dir)
+        if key in self._lookup:
+            return self._lookup[key]
+        idx = len(self.nodes)
+        if idx >= self.max_nodes:
+            raise RuntimeError("lane node capacity exceeded")
+        self.nodes.append(
+            dict(pos=tuple(pos), dir=tuple(dir),
+                 speed=speed_limit if speed_limit is not None else self.speed_limit,
+                 conn=[])
+        )
+        self._lookup[key] = idx
+        self.dirty = True
+        return idx
+
+    def add_segment(self, start: int, end: int, dir, owner: tuple) -> int:
+        a = np.asarray(self.nodes[start]["pos"])
+        b = np.asarray(self.nodes[end]["pos"])
+        d = b - a
+        length = float(np.linalg.norm(d))
+        if length > 1e-6:
+            d = d / length
+        else:
+            d = np.asarray(dir, np.float64)
+            d = d / max(np.linalg.norm(d), 1e-9)
+        idx = len(self.segments)
+        if idx >= self.max_segments:
+            raise RuntimeError("lane segment capacity exceeded")
+        self.segments.append(
+            dict(start=start, end=end, dir=tuple(d), length=length,
+                 owner=owner, active=True)
+        )
+        self.nodes[start]["conn"].append(idx)
+        self.dirty = True
+        return idx
+
+    def build_procedural_for_sector(self, coord: tuple, bounds_min, bounds_max):
+        """4-lane cross per sector (sc_traffic_lanes.cpp:158-225):
+        reactivates previously-built segments on revisit."""
+        existing = self.sector_segments.get(coord)
+        if existing:
+            for s in existing:
+                self.segments[s]["active"] = True
+            self.dirty = True
+            return
+        min_x, min_z = bounds_min[0], bounds_min[2]
+        max_x, max_z = bounds_max[0], bounds_max[2]
+        cx, cz = (min_x + max_x) * 0.5, (min_z + max_z) * 0.5
+        off = self.lane_width * 0.5
+        segs = []
+
+        def road(p0, p1, d):
+            n0 = self.add_node(p0, d)
+            n1 = self.add_node(p1, d)
+            segs.append(self.add_segment(n0, n1, d, coord))
+
+        road((min_x, 0.0, cz - off), (max_x, 0.0, cz - off), (1.0, 0.0, 0.0))
+        road((max_x, 0.0, cz + off), (min_x, 0.0, cz + off), (-1.0, 0.0, 0.0))
+        road((cx + off, 0.0, min_z), (cx + off, 0.0, max_z), (0.0, 0.0, 1.0))
+        road((cx - off, 0.0, max_z), (cx - off, 0.0, min_z), (0.0, 0.0, -1.0))
+        self.sector_segments[coord] = segs
+
+    def remove_sector(self, coord: tuple):
+        """Deactivate (not delete) the sector's segments (:227-237)."""
+        for s in self.sector_segments.get(coord, []):
+            self.segments[s]["active"] = False
+        self.dirty = True
+
+    def lanes_for_sector(self, coord: tuple) -> list[int]:
+        return self.sector_segments.get(coord, [])
+
+    def to_arrays(self) -> LaneArrays:
+        ln, ls = self.max_nodes, self.max_segments
+        node_pos = np.zeros((ln, 3), np.float32)
+        node_conn = np.full((ln, MAX_CONNECTIONS), INVALID_LANE, np.int32)
+        for i, n in enumerate(self.nodes):
+            node_pos[i] = n["pos"]
+            for j, c in enumerate(n["conn"][:MAX_CONNECTIONS]):
+                node_conn[i, j] = c
+        seg_start = np.zeros(ls, np.int32)
+        seg_end = np.zeros(ls, np.int32)
+        seg_dir = np.zeros((ls, 3), np.float32)
+        seg_len = np.zeros(ls, np.float32)
+        seg_speed = np.zeros(ls, np.float32)
+        seg_active = np.zeros(ls, bool)
+        for i, s in enumerate(self.segments):
+            seg_start[i] = s["start"]
+            seg_end[i] = s["end"]
+            seg_dir[i] = s["dir"]
+            seg_len[i] = s["length"]
+            seg_speed[i] = self.nodes[s["start"]]["speed"]
+            seg_active[i] = s["active"]
+        self.dirty = False
+        return LaneArrays(
+            node_pos=jnp.asarray(node_pos),
+            node_conn=jnp.asarray(node_conn),
+            seg_start=jnp.asarray(seg_start),
+            seg_end=jnp.asarray(seg_end),
+            seg_dir=jnp.asarray(seg_dir),
+            seg_len=jnp.asarray(seg_len),
+            seg_speed=jnp.asarray(seg_speed),
+            seg_active=jnp.asarray(seg_active),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Device queries (vectorize over agents via vmap or broadcasting)
+# ---------------------------------------------------------------------------
+
+def nearest_lane(lanes: LaneArrays, pos):
+    """Closest point over all active segments (sc_traffic_lanes.cpp:239-279).
+
+    pos: [3]; returns (lane_id, s, dist).
+    """
+    a = lanes.node_pos[lanes.seg_start]            # [Ls,3]
+    d = lanes.seg_dir
+    t = jnp.clip(m3.dot(pos[None, :] - a, d), 0.0, lanes.seg_len)
+    closest = a + d * t[:, None]
+    dist = m3.norm(pos[None, :] - closest)
+    dist = jnp.where(lanes.seg_active & (lanes.seg_len > 1e-5), dist, jnp.inf)
+    best = jnp.argmin(dist)
+    ok = jnp.isfinite(dist[best])
+    return (
+        jnp.where(ok, best.astype(jnp.int32), INVALID_LANE),
+        jnp.where(ok, t[best], 0.0),
+        dist[best],
+    )
+
+
+def _choose_next(lanes: LaneArrays, dir, node_idx):
+    """Best direction-dot continuation among the end node's connections
+    (sc_traffic_lanes.cpp:139-155)."""
+    conn = lanes.node_conn[node_idx]               # [MAX_CONNECTIONS]
+    safe = jnp.maximum(conn, 0)
+    dots = m3.dot(lanes.seg_dir[safe], dir[None, :])
+    ok = (conn >= 0) & lanes.seg_active[safe]
+    dots = jnp.where(ok, dots, -jnp.inf)
+    k = jnp.argmax(dots)
+    return jnp.where(jnp.isfinite(dots[k]), conn[k], INVALID_LANE)
+
+
+def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 8):
+    """Walk the segment chain (sc_traffic_lanes.cpp:291-352).
+
+    Returns (lane_id, s, pos, dir, ok). Fixed max_hops lax.scan, traceable.
+    """
+
+    def hop(carry, _):
+        cur, cs, remaining, done, ok = carry
+        safe = jnp.maximum(cur, 0)
+        active = (cur >= 0) & lanes.seg_active[safe] & (lanes.seg_len[safe] > 1e-5)
+        fail = ~done & ~active
+        length = lanes.seg_len[safe]
+        available = length - cs
+        fits = remaining <= available
+
+        # case: fits in current segment
+        cs_new = jnp.where(fits, cs + remaining, 0.0)
+        rem_new = jnp.where(fits, 0.0, remaining - available)
+
+        # case: walk to next segment
+        end_node = lanes.seg_end[safe]
+        nxt = _choose_next(lanes, lanes.seg_dir[safe], end_node)
+        dead_end = ~fits & (nxt < 0)
+        cur_new = jnp.where(fits | dead_end, cur, nxt)
+        cs_new = jnp.where(dead_end, length, cs_new)
+
+        newly_done = ~done & active & (fits | dead_end)
+        done_new = done | newly_done | fail
+        ok_new = ok & ~fail
+        cs_out = jnp.where(done, cs, cs_new)
+        cur_out = jnp.where(done, cur, cur_new)
+        rem_out = jnp.where(done | newly_done, 0.0, rem_new)
+        return (cur_out, cs_out, rem_out, done_new, ok_new), None
+
+    init = (
+        jnp.asarray(lane_id, jnp.int32),
+        jnp.asarray(s, jnp.float32),
+        jnp.asarray(distance, jnp.float32),
+        jnp.asarray(False),
+        jnp.asarray(lane_id >= 0),
+    )
+    (cur, cs, rem, done, ok), _ = jax.lax.scan(hop, init, None, length=max_hops)
+    ok = ok & done
+    safe = jnp.maximum(cur, 0)
+    a = lanes.node_pos[lanes.seg_start[safe]]
+    d = lanes.seg_dir[safe]
+    pos = a + d * cs
+    return cur, cs, pos, d, ok
+
+
+def look_ahead_point(lanes: LaneArrays, lane_id, s, distance):
+    """getLookAheadPoint (sc_traffic_lanes.cpp:281-289)."""
+    _, _, pos, d, ok = advance_along_lane(lanes, lane_id, s, distance)
+    return pos, d, ok

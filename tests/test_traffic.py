@@ -1,0 +1,182 @@
+"""Traffic: lane graph queries, LOD tiers + caps, AI following, spawner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scx import state as st
+from scx.core.config import StreamingBudgets, TrafficConfig, WorldPartitionConfig
+from scx.traffic import ai as tai
+from scx.traffic import lanes as tl
+from scx.traffic import lod as tlod
+from scx.traffic.spawner import TrafficSpawner, snapshot_agents
+from scx.world.streaming import WorldPartition
+
+
+def grid_lanes(n_sectors=2, size=64.0):
+    b = tl.LaneGraphBuilder(max_nodes=128, max_segments=64)
+    for sx in range(n_sectors):
+        b.build_procedural_for_sector(
+            (sx, 0), (sx * size, 0.0, 0.0), ((sx + 1) * size, 0.0, size)
+        )
+    return b
+
+
+def test_lane_graph_build_and_dedup():
+    b = grid_lanes(2)
+    # 4 segments per sector; adjacent X-road endpoints share nodes (dedup)
+    assert len(b.segments) == 8
+    # X road of sector 0 ends at x=64, sector 1 starts at x=64, same z, same dir
+    n_positions = {tuple(np.round(n["pos"], 3)) for n in b.nodes}
+    assert len(n_positions) == len(b.nodes)  # no duplicate nodes
+    assert len(b.nodes) < 2 * 8  # dedup happened at the shared boundary
+
+
+def test_nearest_and_advance():
+    b = grid_lanes(1)
+    arr = b.to_arrays()
+    # point near the eastbound X lane (z = 32 - 1.75)
+    lane, s, dist = tl.nearest_lane(arr, jnp.asarray([10.0, 0.0, 30.0]))
+    assert int(lane) >= 0
+    seg = b.segments[int(lane)]
+    assert abs(float(dist) - abs(30.0 - (32.0 - 1.75))) < 0.01
+    # advance 10m along it
+    l2, s2, pos, d, ok = tl.advance_along_lane(arr, lane, s, 10.0)
+    assert bool(ok)
+    np.testing.assert_allclose(float(s2), float(s) + 10.0, atol=1e-4)
+
+
+def test_advance_crosses_segments():
+    b = grid_lanes(2)
+    arr = b.to_arrays()
+    # eastbound lane of sector 0 is segment 0 (length 64)
+    lane0 = b.sector_segments[(0, 0)][0]
+    l2, s2, pos, d, ok = tl.advance_along_lane(arr, jnp.int32(lane0), 60.0, 10.0)
+    assert bool(ok)
+    # walked into sector 1's eastbound lane
+    assert int(l2) == b.sector_segments[(1, 0)][0]
+    np.testing.assert_allclose(float(s2), 6.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pos)[0], 70.0, atol=1e-3)
+
+
+def make_agents(dists, modes=None):
+    n = 64
+    s = st.alloc_entity_state(n)
+    k = len(dists)
+    s = s.replace(
+        alive=s.alive.at[:k].set(True),
+        traffic=s.traffic.replace(
+            mode=s.traffic.mode.at[:k].set(
+                jnp.asarray(modes if modes is not None else [st.TRAFFIC_ONRAILS] * k)
+            ),
+        ),
+        transform=s.transform.replace(
+            pos=s.transform.pos.at[:k, 0].set(jnp.asarray(dists, jnp.float32))
+        ),
+    )
+    return s
+
+
+def test_lod_tiers_and_hysteresis():
+    cfg = TrafficConfig()
+    s = make_agents([10.0, 60.0, 100.0, 200.0])
+    player = jnp.zeros(3)
+    s2, despawn = tlod.traffic_lod_update(s, player, cfg)
+    modes = np.asarray(s2.traffic.mode[:4])
+    assert modes[0] == st.TRAFFIC_PHYSICS       # 10m < 50 enter
+    assert modes[1] == st.TRAFFIC_KINEMATIC     # 60m: between A-enter and B-enter
+    assert modes[2] == st.TRAFFIC_KINEMATIC     # 100m < 110 enter
+    assert modes[3] == st.TRAFFIC_ONRAILS       # 200m > 150
+    assert not bool(despawn.any())
+    # hysteresis: an A agent at 60m stays A (exit 70)
+    s3 = make_agents([60.0], modes=[st.TRAFFIC_PHYSICS])
+    s4, _ = tlod.traffic_lod_update(s3, player, cfg)
+    assert int(s4.traffic.mode[0]) == st.TRAFFIC_PHYSICS
+    # body types follow modes
+    assert int(s2.body.body_type[0]) == st.BODY_DYNAMIC
+    assert int(s2.body.body_type[1]) == st.BODY_KINEMATIC
+    assert int(s2.body.body_type[3]) == st.BODY_NONE
+
+
+def test_lod_caps_demote_farthest():
+    cfg = TrafficConfig(max_vehicles_physics=2)
+    s = make_agents([5.0, 10.0, 20.0, 30.0])
+    s2, _ = tlod.traffic_lod_update(s, jnp.zeros(3), cfg)
+    modes = np.asarray(s2.traffic.mode[:4])
+    assert (modes[:2] == st.TRAFFIC_PHYSICS).all()
+    assert (modes[2:] == st.TRAFFIC_KINEMATIC).all()  # demoted farthest
+
+
+def test_lod_total_cap_despawns():
+    cfg = TrafficConfig(max_vehicles_total=3)
+    s = make_agents([10.0, 300.0, 400.0, 500.0])
+    s2, despawn = tlod.traffic_lod_update(s, jnp.zeros(3), cfg)
+    d = np.asarray(despawn[:4])
+    assert d.sum() == 1 and d[3]  # farthest OnRails goes first
+
+
+def test_ai_follows_lane():
+    b = grid_lanes(1)
+    arr = b.to_arrays()
+    cfg = TrafficConfig()
+    s = st.alloc_entity_state(8)
+    # agent on the eastbound lane at s=10
+    lane0 = b.sector_segments[(0, 0)][0]
+    seg = b.segments[lane0]
+    start = np.asarray(b.nodes[seg["start"]]["pos"])
+    p0 = start + np.asarray(seg["dir"]) * 10.0
+    s = s.replace(
+        alive=s.alive.at[0].set(True),
+        traffic=s.traffic.replace(
+            mode=s.traffic.mode.at[0].set(st.TRAFFIC_ONRAILS),
+            lane_id=s.traffic.lane_id.at[0].set(lane0),
+            lane_s=s.traffic.lane_s.at[0].set(10.0),
+        ),
+        transform=s.transform.replace(
+            pos=s.transform.pos.at[0].set(jnp.asarray(p0, jnp.float32))
+        ),
+    )
+    dt = 1.0 / 60.0
+    step = jax.jit(
+        lambda ss: tai.traffic_ai_update(
+            ss, arr, None, jnp.zeros(8, bool), cfg, dt
+        )
+    )
+    for _ in range(240):
+        s = step(s)
+    # accelerated toward the 12 m/s lane speed and moved along +X
+    assert float(s.traffic.speed[0]) > 8.0
+    assert float(s.transform.pos[0, 0]) > float(p0[0]) + 15.0
+    assert float(s.traffic.lane_s[0]) > 10.0
+    # yaw aligned with lane direction (+X): forward ~ (1,0,0)
+    yaw = float(tai.yaw_of_quat(s.transform.rot[0]))
+    np.testing.assert_allclose(yaw, np.pi / 2, atol=0.1)
+
+
+def test_spawner_spawns_and_respects_rules():
+    wcfg = WorldPartitionConfig(load_radius=1, unload_radius=2)
+    tcfg = TrafficConfig(density_per_km2=2000.0)  # 64m sector -> desired 8
+    wp = WorldPartition(wcfg, StreamingBudgets(), capacity=2048)
+    state = st.alloc_entity_state(2048)
+    import time
+    for _ in range(30):
+        state = wp.update(state, (32.0, 0.0, 32.0), (0.0, 0.0, -1.0))
+        time.sleep(0.01)
+    lanes = tl.LaneGraphBuilder(max_nodes=512, max_segments=256)
+    sp = TrafficSpawner(tcfg, wcfg)
+    player = (1000.0, 0.0, 1000.0)  # far away: no exclusion interference
+    for _ in range(5):
+        state = sp.update(state, wp, lanes, player)
+    snap = snapshot_agents(state)
+    n_agents = int(snap["alive_agent"].sum())
+    assert n_agents > 0
+    # max 3 spawns/sector/frame * 9 sectors * 5 frames bound
+    assert n_agents <= 9 * 8
+    # lane gap rule: no two agents on same lane closer than 15m arclength
+    lids = snap["lane_id"][snap["alive_agent"]]
+    lss = snap["lane_s"][snap["alive_agent"]]
+    for lid in set(lids.tolist()):
+        ss = np.sort(lss[lids == lid])
+        if len(ss) > 1:
+            assert np.diff(ss).min() >= tcfg.min_lane_gap - 1e-3
+    wp.shutdown()
