@@ -1,0 +1,243 @@
+"""Asset manager: caches, streaming residency, eviction — host runtime over
+device texture/mesh pools.
+
+Port of the reference AssetManager's capability surface (sc_assets.h:124-209,
+sc_assets.cpp): FNV-id keyed caches for textures/meshes/materials, material =
+albedo + flags -> pipeline/texture binding, LRU lastUsedFrame touching,
+budgeted async-ish load queue pumped N per frame, eviction to GPU-byte and
+count budgets (oldest-first, pinned exempt), magenta-checker fallback and
+white default, and a stats snapshot.
+
+Device side: one texture pool array [slots, S, S, 3] f32; a slot is a
+"resident texture".  Evicting marks the slot free and rebinds dependent
+materials to the fallback (sc_assets.cpp:780-801).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from scx.core import log
+from scx.core.config import AssetResidencyConfig
+from scx.core.prng import asset_id_from_path
+from scx.assets import textures as tex
+from scx.render.pipeline import Materials
+
+FALLBACK_SLOT = 0
+WHITE_SLOT = 1
+_RESERVED_SLOTS = 2
+
+
+@dataclass
+class ResidencyStats:
+    """Mirror of AssetStats (sc_assets.h:72-93)."""
+
+    resident_textures: int = 0
+    resident_bytes: int = 0
+    loads_queued: int = 0
+    loads_completed: int = 0
+    evictions: int = 0
+    cache_hits: int = 0
+    cache_misses: int = 0
+    fallback_binds: int = 0
+
+
+@dataclass
+class _TexRecord:
+    asset_id: int
+    slot: int
+    last_used_frame: int = 0
+    pinned: bool = False
+    from_disk: bool = True
+    bytes: int = 0
+
+
+class AssetManager:
+    """Host-side texture residency over a fixed device pool."""
+
+    def __init__(
+        self,
+        config: AssetResidencyConfig = AssetResidencyConfig(),
+        asset_root: str | None = None,
+        pool_slots: int = 64,
+        slot_size: int = 128,
+    ):
+        self.config = config
+        self.asset_root = asset_root
+        self.slot_size = slot_size
+        self.pool_slots = pool_slots
+        pool = np.zeros((pool_slots, slot_size, slot_size, 3), np.float32)
+        pool[FALLBACK_SLOT] = tex.resample_to(tex.fallback_texture(), slot_size)
+        pool[WHITE_SLOT] = tex.resample_to(tex.white_texture(), slot_size)
+        self._pool_host = pool
+        self._pool_dirty = True
+        self._pool_device = None
+        self.slot_bytes = slot_size * slot_size * 3 * 4
+        self._free_slots = list(range(pool_slots - 1, _RESERVED_SLOTS - 1, -1))
+        self.textures: dict[int, _TexRecord] = {}
+        self.materials: dict[int, dict] = {}  # material asset id -> record
+        self._material_slots: list[int] = []  # material slot -> asset id
+        self._load_queue: list[int] = []
+        self.frame = 0
+        self.stats = ResidencyStats()
+
+    # -- textures ------------------------------------------------------
+    def load_texture(self, path: str, pinned: bool = False) -> int:
+        """Returns texture asset id; queues the pixels for upload
+        (loadTexture2D, sc_assets.cpp:255-298)."""
+        asset_id = asset_id_from_path(path)
+        if asset_id in self.textures:
+            self.stats.cache_hits += 1
+            return asset_id
+        self.stats.cache_misses += 1
+        rec = _TexRecord(asset_id=asset_id, slot=-1, pinned=pinned)
+        rec.path = path  # type: ignore[attr-defined]
+        self.textures[asset_id] = rec
+        self._load_queue.append(asset_id)
+        self.stats.loads_queued += 1
+        return asset_id
+
+    def add_texture_pixels(self, name: str, pixels: np.ndarray, pinned=False) -> int:
+        """Non-disk texture (procedural); resident immediately, evict-exempt
+        like the reference's non-disk textures (sc_assets.cpp:538-544)."""
+        asset_id = asset_id_from_path(name)
+        if asset_id in self.textures:
+            return asset_id
+        slot = self._claim_slot()
+        if slot < 0:
+            return asset_id
+        self._pool_host[slot] = tex.resample_to(pixels.astype(np.float32), self.slot_size)
+        self._pool_dirty = True
+        self.textures[asset_id] = _TexRecord(
+            asset_id=asset_id, slot=slot, pinned=pinned, from_disk=False,
+            bytes=self.slot_bytes, last_used_frame=self.frame,
+        )
+        return asset_id
+
+    def _claim_slot(self) -> int:
+        if self._free_slots:
+            return self._free_slots.pop()
+        return -1
+
+    def pump_texture_loads(self):
+        """Load up to max_loads_per_frame queued textures
+        (pumpTextureLoads, sc_assets.cpp:478-509)."""
+        n = 0
+        while self._load_queue and n < self.config.max_loads_per_frame:
+            asset_id = self._load_queue.pop(0)
+            rec = self.textures.get(asset_id)
+            if rec is None or rec.slot >= 0:
+                continue
+            path = getattr(rec, "path", None)
+            img = None
+            if path:
+                full = path if os.path.isabs(path) else os.path.join(
+                    self.asset_root or ".", path
+                )
+                img = tex.load_image(full)
+            slot = self._claim_slot()
+            if slot < 0:
+                # over capacity: leave non-resident (material binds fallback)
+                continue
+            if img is None:
+                img = tex.fallback_texture()
+                self.stats.fallback_binds += 1
+            self._pool_host[slot] = tex.resample_to(img, self.slot_size)
+            self._pool_dirty = True
+            rec.slot = slot
+            rec.bytes = self.slot_bytes
+            rec.last_used_frame = self.frame
+            self.stats.loads_completed += 1
+            n += 1
+
+    def touch(self, asset_id: int):
+        """LRU touch (touchMaterial/touch, sc_assets.cpp:441-455)."""
+        rec = self.textures.get(asset_id)
+        if rec is not None:
+            rec.last_used_frame = self.frame
+
+    def evict_if_needed(self):
+        """Evict oldest-first to byte and count budgets
+        (sc_assets.cpp:511-589); pinned and non-disk exempt."""
+        resident = [r for r in self.textures.values() if r.slot >= 0]
+        total_bytes = sum(r.bytes for r in resident)
+        count = len(resident)
+        over_bytes = total_bytes > self.config.gpu_budget_bytes
+        over_count = count > min(self.config.max_resident_textures, self.pool_slots)
+        if not (over_bytes or over_count):
+            return
+        candidates = sorted(
+            (r for r in resident if not r.pinned and r.from_disk),
+            key=lambda r: r.last_used_frame,
+        )
+        for r in candidates:
+            if total_bytes <= self.config.gpu_budget_bytes and count <= min(
+                self.config.max_resident_textures, self.pool_slots
+            ):
+                break
+            self._free_slots.append(r.slot)
+            r.slot = -1
+            total_bytes -= r.bytes
+            count -= 1
+            r.bytes = 0
+            self.stats.evictions += 1
+        self._pool_dirty = True
+
+    # -- materials -----------------------------------------------------
+    def create_material(self, name: str, albedo_texture: int = 0, unlit=True) -> int:
+        """Material slot for the shading table (createMaterial,
+        sc_assets.cpp:321-364). Returns the material SLOT (render id)."""
+        asset_id = asset_id_from_path(name)
+        if asset_id in self.materials:
+            return self.materials[asset_id]["slot"]
+        slot = len(self._material_slots)
+        self.materials[asset_id] = dict(
+            slot=slot, albedo=albedo_texture, unlit=unlit, tint=(1.0, 1.0, 1.0)
+        )
+        self._material_slots.append(asset_id)
+        return slot
+
+    def material_slot(self, asset_id: int) -> int:
+        rec = self.materials.get(asset_id)
+        return rec["slot"] if rec else 0
+
+    # -- per-frame -----------------------------------------------------
+    def begin_frame(self):
+        self.frame += 1
+        self.pump_texture_loads()
+        self.evict_if_needed()
+        st = self.stats
+        resident = [r for r in self.textures.values() if r.slot >= 0]
+        st.resident_textures = len(resident)
+        st.resident_bytes = sum(r.bytes for r in resident)
+
+    def device_pool(self):
+        """Texture pool as a device array (uploaded when dirty)."""
+        if self._pool_dirty or self._pool_device is None:
+            self._pool_device = jnp.asarray(self._pool_host)
+            self._pool_dirty = False
+        return self._pool_device
+
+    def device_materials(self) -> Materials:
+        """Material table for the deferred shader: texture slot per material
+        (non-resident -> fallback slot, sc_assets.cpp:780-801)."""
+        n = max(1, len(self._material_slots))
+        tex_ids = np.full(n, -1, np.int32)
+        tints = np.ones((n, 3), np.float32)
+        for i, asset_id in enumerate(self._material_slots):
+            m = self.materials[asset_id]
+            tints[i] = m["tint"]
+            albedo = m["albedo"]
+            if albedo:
+                rec = self.textures.get(albedo)
+                if rec is not None and rec.slot >= 0:
+                    tex_ids[i] = rec.slot
+                    rec.last_used_frame = self.frame
+                else:
+                    tex_ids[i] = FALLBACK_SLOT
+                    self.stats.fallback_binds += 1
+        return Materials(texture_id=jnp.asarray(tex_ids), tint=jnp.asarray(tints))

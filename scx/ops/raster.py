@@ -33,9 +33,8 @@ from scx.render import pipeline as pipe
 N_ATTR = 6  # r, g, b, u, v, mat
 
 
-def _raster_tile_kernel(binned_ref, depth_ref, attr_ref, *, params):
+def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
     th, tw = params.tile_h, params.tile_w
-    k_max = params.max_tris_per_tile
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -93,8 +92,8 @@ def _raster_tile_kernel(binned_ref, depth_ref, attr_ref, *, params):
             attrs = attr_ref[:]
             new = jnp.stack(
                 [
-                    interp(pipe.F_COL + 0),      # r (vertex-major premult:
-                    interp(pipe.F_COL + 3),      # g  col[v][c] flat = v*3+c)
+                    interp(pipe.F_COL + 0),      # r (channel-major premult:
+                    interp(pipe.F_COL + 3),      # g  field = F_COL + 3*ch + v)
                     interp(pipe.F_COL + 6),      # b
                     interp(pipe.F_UV + 0),       # u
                     interp(pipe.F_UV + 3),       # v
@@ -103,24 +102,32 @@ def _raster_tile_kernel(binned_ref, depth_ref, attr_ref, *, params):
             )
             attr_ref[:] = jnp.where(mask[None, :, :], new, attrs)
 
-    jax.lax.fori_loop(0, k_max, body, None)
+    # dynamic bound: sparsely occupied tiles cost only their real triangles
+    jax.lax.fori_loop(0, count_ref[0, 0], body, None)
 
 
-def rasterize_tiles(binned, params) -> dict:
+def rasterize_tiles(binned, params, counts=None) -> dict:
     """binned: [n_tiles, K, N_FIELDS] -> G-buffer dict (depth/color/uv/mat).
 
-    Note the color field layout in binned is [vertex][channel] flattened; the
-    kernel's interp indexes stride-3 accordingly.
+    counts: [n_tiles] i32 per-tile occupancy (dynamic loop bound); defaults
+    to the full K when not provided.
     """
     nty, ntx = params.tiles_y, params.tiles_x
     th, tw = params.tile_h, params.tile_w
     h_pad, w_pad = nty * th, ntx * tw
+    if counts is None:
+        counts = jnp.full((params.n_tiles,), params.max_tris_per_tile, jnp.int32)
 
     kernel = functools.partial(_raster_tile_kernel, params=params)
     depth, attrs = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1),
+                lambda ty, tx: (ty * ntx + tx, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, params.max_tris_per_tile, pipe.N_FIELDS),
                 lambda ty, tx: (ty * ntx + tx, 0, 0),
@@ -138,7 +145,10 @@ def rasterize_tiles(binned, params) -> dict:
             jax.ShapeDtypeStruct((N_ATTR, h_pad, w_pad), jnp.float32),
         ],
         interpret=params.interpret,
-    )(binned)
+    )(
+        jnp.minimum(counts, params.max_tris_per_tile).astype(jnp.int32)[:, None],
+        binned,
+    )
 
     h, w = params.height, params.width
     depth = depth[:h, :w]

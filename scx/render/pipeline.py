@@ -64,6 +64,7 @@ class RasterParams:
     max_tris_per_tile: int = struct.field(pytree_node=False, default=256)
     emission_factor: int = struct.field(pytree_node=False, default=4)
     cull_backface: bool = struct.field(pytree_node=False, default=True)
+    min_area2 : float = struct.field(pytree_node=False, default=1e-6)
     interpret: bool = struct.field(pytree_node=False, default=False)
 
     @property
@@ -131,7 +132,9 @@ def setup_triangles(
     sy = (ndc[..., 1] * 0.5 + 0.5) * params.height
     zw = ndc[..., 2]
 
-    # signed area in screen space; cull degenerate + backfacing
+    # signed area in screen space; cull degenerate, backfacing and sub-pixel
+    # triangles (|area| < min_area2 px^2 cannot produce stable coverage and
+    # dominate tile occupancy in far city views)
     ax = sx[:, 1] - sx[:, 0]
     ay = sy[:, 1] - sy[:, 0]
     bx = sx[:, 2] - sx[:, 0]
@@ -141,9 +144,9 @@ def setup_triangles(
     # after the RH-ZO projection's Vulkan Y flip a front face lands with
     # NEGATIVE signed area in pixel coordinates.
     if params.cull_backface:
-        face_ok = area2 < -1e-6
+        face_ok = area2 < -params.min_area2
     else:
-        face_ok = jnp.abs(area2) > 1e-6
+        face_ok = jnp.abs(area2) > params.min_area2
 
     # off-screen cull
     xmin = jnp.min(sx, -1)
@@ -163,76 +166,70 @@ def setup_triangles(
     mat = draws.material_id[draw_idx].astype(jnp.float32)
 
     t = params.max_tris
-    setup = jnp.zeros((t, N_FIELDS), jnp.float32)
-    setup = setup.at[:, F_X : F_X + 3].set(sx)
-    setup = setup.at[:, F_Y : F_Y + 3].set(sy)
-    setup = setup.at[:, F_ZW : F_ZW + 3].set(zw)
-    setup = setup.at[:, F_IW : F_IW + 3].set(inv_w)
     # channel-major packing: field F_COL + 3*channel + vertex (the kernel
     # interpolates s(base), s(base+1), s(base+2) across the three vertices)
-    setup = setup.at[:, F_COL : F_COL + 9].set(
-        jnp.swapaxes(color, 1, 2).reshape(t, 9)
+    setup = jnp.concatenate(
+        [
+            sx,
+            sy,
+            zw,
+            inv_w,
+            jnp.swapaxes(color, 1, 2).reshape(t, 9),
+            jnp.swapaxes(uv, 1, 2).reshape(t, 6),
+            mat[:, None],
+            valid.astype(jnp.float32)[:, None],
+            jnp.zeros((t, N_FIELDS - F_VALID - 1), jnp.float32),
+        ],
+        axis=1,
     )
-    setup = setup.at[:, F_UV : F_UV + 6].set(jnp.swapaxes(uv, 1, 2).reshape(t, 6))
-    setup = setup.at[:, F_MAT].set(mat)
-    setup = setup.at[:, F_VALID].set(valid.astype(jnp.float32))
 
     aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
     return setup, aabb, valid
 
 
 def bin_triangles(setup, aabb, valid, params: RasterParams):
-    """Tile binning: emissions -> one sort -> padded per-tile setup.
+    """Tile binning, sort-free: overlap matrix -> running rank -> per-tile
+    index recovery by searchsorted over the rank rows.
 
-    Returns binned setup [n_tiles, K, N_FIELDS] plus per-tile counts (stats).
+    The k-th triangle of tile t is the first tri whose running overlap count
+    for t reaches k+1 — a binary search over a monotone row.  One cumsum and
+    K searches per tile replace the global emission sort (which dominated
+    frame time on TPU).  Order within a tile = triangle index order, which is
+    draw order — same as the reference's sorted submission semantics.
+
+    Returns (binned [n_tiles, K, N_FIELDS], counts [n_tiles]).
     """
-    t = params.max_tris
     ntx, nty = params.tiles_x, params.tiles_y
+    n_tiles = params.n_tiles
     tx0 = jnp.clip(jnp.floor(aabb[:, 0] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(aabb[:, 1] / params.tile_h), 0, nty - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(aabb[:, 2] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor(aabb[:, 3] / params.tile_h), 0, nty - 1).astype(jnp.int32)
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-    n_emit = jnp.where(valid, span_x * span_y, 0)
 
-    cum = jnp.cumsum(n_emit)
-    total = cum[-1]
-    starts = cum - n_emit
-
-    e_max = params.max_emissions
-    e = jnp.arange(e_max, dtype=jnp.int32)
-    tri = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    tri = jnp.minimum(tri, t - 1)
-    local = e - starts[tri]
-    live = e < total
-    ty = ty0[tri] + local // jnp.maximum(span_x[tri], 1)
-    tx = tx0[tri] + local % jnp.maximum(span_x[tri], 1)
-    tile = ty * ntx + tx
-
-    # one sort: key = tile * T + emission order (stable within tile)
-    key = jnp.where(live, tile * t + e % t, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    sorted_tile = jnp.where(live[order], tile[order], params.n_tiles)
-    sorted_tri = tri[order]
-
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(params.n_tiles + 1, dtype=jnp.int32), side="left"
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    t_y = tiles // ntx
+    t_x = tiles % ntx
+    overlap = (
+        valid[None, :]
+        & (t_x[:, None] >= tx0[None, :])
+        & (t_x[:, None] <= tx1[None, :])
+        & (t_y[:, None] >= ty0[None, :])
+        & (t_y[:, None] <= ty1[None, :])
     )
-    counts = jnp.diff(tile_start)
+    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # [tiles, T] monotone
+    counts = rank[:, -1]
 
     k = params.max_tris_per_tile
-    slot = jnp.arange(k, dtype=jnp.int32)
-    gather_idx = tile_start[:-1, None] + slot[None, :]
-    in_range = slot[None, :] < counts[:, None]
-    gather_idx = jnp.minimum(gather_idx, e_max - 1)
-    tri_ids = jnp.where(in_range, sorted_tri[gather_idx], 0)
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    tri_ids = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(rank)
+    in_range = targets[None, :] <= counts[:, None]
+    tri_ids = jnp.where(in_range, jnp.minimum(tri_ids, params.max_tris - 1), 0)
 
     binned = setup[tri_ids]  # [tiles, K, F]
     binned = binned.at[:, :, F_VALID].set(
         jnp.where(in_range, binned[:, :, F_VALID], 0.0)
     )
-    return binned, counts
+    return binned, counts  # raw counts (may exceed K: overflow stat)
 
 
 @struct.dataclass
@@ -297,7 +294,7 @@ def render_frame(
 
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
     binned, counts = bin_triangles(setup, aabb, valid, params)
-    gbuffer = raster_ops.rasterize_tiles(binned, params)
+    gbuffer = raster_ops.rasterize_tiles(binned, params, counts)
     rgb = shade(gbuffer, materials, textures)
     stats = {
         "tris_in": jnp.sum(valid.astype(jnp.int32)),

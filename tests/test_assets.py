@@ -1,0 +1,165 @@
+"""Assets: registry parsing, PPM loading, GLB import + flatten, residency
+budgets/eviction."""
+
+import json
+import struct
+
+import numpy as np
+
+from scx.assets import gltf as g
+from scx.assets import registry as reg
+from scx.assets import textures as tx
+from scx.assets.residency import AssetManager, FALLBACK_SLOT
+from scx.core.config import AssetResidencyConfig
+from scx.core.prng import asset_id_from_path
+
+
+def test_registry_parse(tmp_path):
+    p = tmp_path / "asset_registry.txt"
+    p.write_text(
+        "# label|mesh_path|material_path\n"
+        "Cube|meshes/cube|materials/unlit\n"
+        "\n"
+        "Checker|meshes/cube|materials/checker\n"
+    )
+    entries = reg.load_asset_registry(str(p))
+    assert len(entries) == 2
+    assert entries[0].label == "Cube"
+    assert entries[0].mesh_id == asset_id_from_path("meshes/cube")
+    assert reg.find_by_mesh_id(entries, entries[0].mesh_id).label == "Cube"
+
+
+def test_ppm_p6_roundtrip(tmp_path):
+    img = (np.random.RandomState(0).rand(4, 6, 3) * 255).astype(np.uint8)
+    p = tmp_path / "t.ppm"
+    with open(p, "wb") as fh:
+        fh.write(b"P6\n# comment\n6 4\n255\n")
+        fh.write(img.tobytes())
+    out = tx.load_ppm(str(p))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_reference_ppm_assets_load():
+    out = tx.load_image("/root/reference/assets/textures/checker.ppm")
+    assert out is not None and out.ndim == 3 and out.shape[2] == 3
+
+
+def make_glb():
+    """Synthetic 2-triangle quad GLB with a child node transform."""
+    pos = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    bin_chunk = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    pad = (-len(bin_chunk)) % 4
+    bin_chunk += b"\0" * pad
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"name": "root", "children": [1]},
+            {"name": "quad", "mesh": 0, "translation": [2.0, 0.0, 0.0]},
+        ],
+        "meshes": [
+            {
+                "name": "quad",
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+                        "indices": 2,
+                        "material": 0,
+                    }
+                ],
+            }
+        ],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}}}
+        ],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "textures/albedo.png"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+    }
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+    out = struct.pack("<III", 0x46546C67, 2, total)
+    out += struct.pack("<II", len(js), 0x4E4F534A) + js
+    out += struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk
+    return out
+
+
+def test_glb_import_and_flatten():
+    model = g.load_glb(make_glb())
+    assert model is not None
+    assert len(model.meshes) == 1
+    assert model.meshes[0].positions.shape == (4, 3)
+    assert model.meshes[0].indices.tolist() == [0, 1, 2, 0, 2, 3]
+    assert model.base_color_uris == ["textures/albedo.png"]
+
+    flat = g.flatten_model_to_mesh(model)
+    # child node translated +2 in x
+    np.testing.assert_allclose(flat.positions[0], [2.0, 0.0, 0.0], atol=1e-6)
+    bmin, bmax = g.compute_mesh_bounds(flat)
+    np.testing.assert_allclose(bmin, [2.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(bmax, [3.0, 1.0, 0.0], atol=1e-6)
+
+    verts, tris = g.mesh_to_pool_arrays(flat)
+    assert verts.shape == (4, 8) and tris.shape == (2, 3)
+
+
+def test_glb_rejects_garbage():
+    assert g.load_glb(b"not a glb") is None
+
+
+def test_residency_load_touch_evict(tmp_path):
+    cfg = AssetResidencyConfig(max_loads_per_frame=2, max_resident_textures=3)
+    am = AssetManager(cfg, asset_root=str(tmp_path), pool_slots=8, slot_size=16)
+    # create 4 disk textures
+    ids = []
+    for i in range(4):
+        img = (np.full((8, 8, 3), i * 60, np.uint8))
+        p = tmp_path / f"t{i}.ppm"
+        with open(p, "wb") as fh:
+            fh.write(b"P6\n8 8\n255\n" + img.tobytes())
+        ids.append(am.load_texture(f"t{i}.ppm"))
+    # 2 loads/frame budget
+    am.begin_frame()
+    assert am.stats.loads_completed == 2
+    am.begin_frame()
+    am.begin_frame()
+    # over count budget (3): oldest evicted
+    assert am.stats.resident_textures <= 3
+    assert am.stats.evictions >= 1
+    # touch the oldest so the next eviction takes another
+    am.touch(ids[3])
+    # missing texture binds fallback in material table
+    mat_slot = am.create_material("materials/test", albedo_texture=am.load_texture("missing.ppm"))
+    for _ in range(3):
+        am.begin_frame()
+    mats = am.device_materials()
+    # missing.ppm loaded as fallback pixels or bound to FALLBACK_SLOT
+    assert int(mats.texture_id[mat_slot]) >= 0
+
+
+def test_material_table_and_pool():
+    am = AssetManager(pool_slots=4, slot_size=8)
+    tid = am.add_texture_pixels("gen/checker", tx.checker_texture(16))
+    slot = am.create_material("materials/checker", albedo_texture=tid)
+    m0 = am.create_material("materials/unlit", albedo_texture=0)
+    mats = am.device_materials()
+    assert int(mats.texture_id[m0]) == -1  # vertex color only
+    assert int(mats.texture_id[slot]) >= 2  # a real pool slot
+    pool = am.device_pool()
+    assert pool.shape == (4, 8, 8, 3)
