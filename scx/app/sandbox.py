@@ -1,0 +1,314 @@
+"""The sandbox: full-engine composition — streaming city, traffic, player
+vehicle, camera, render.
+
+Mirror of the reference's sc_sandbox main (src/sandbox/src/main.cpp): same
+system ordering (Input -> Simulation[streaming/spawner/LOD] ->
+FixedUpdate[AI -> vehicle -> physics -> sync] -> RenderPrep[camera ->
+cull -> draws] -> Render), same budgets, same fixed-step rules
+(60 Hz, <=4 substeps).
+
+Split of responsibilities (the TPU shape of the engine):
+  * HOST: sector streaming, traffic spawning, asset residency, telemetry —
+    everything with file IO or irregular allocation.
+  * DEVICE (one jitted tick): traffic LOD + AI, vehicle forces, physics,
+    camera, culling, draw emission, rasterization.
+
+The jitted tick is compiled once; streaming writes entity slots in place so
+no shape ever changes.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from scx.core import math3d as m3
+from scx.core.config import EngineConfig
+from scx.physics.solver import SolverParams
+from scx.physics.vehicle import VehicleParams, default_wheel_configs
+from scx.physics.world import bodies_from_state, physics_sync_step
+from scx.render import RasterParams, render_frame
+from scx.render.camera import CameraParams, camera_view_proj
+from scx.render.mesh import build_mesh_pool
+from scx.state import entity as ent
+from scx.state.scheduler import FixedStepClock
+from scx.telemetry import TelemetryHub
+from scx.traffic.ai import traffic_ai_update
+from scx.traffic.lanes import LaneGraphBuilder
+from scx.traffic.lod import tier_counts, traffic_lod_update
+from scx.traffic.spawner import TrafficSpawner, snapshot_agents
+from scx.world.culling import cull_entities, emit_draws
+from scx.world.streaming import WorldPartition
+from scx.assets.residency import AssetManager
+from scx.assets import textures as tx
+
+
+@struct.dataclass
+class SimParams:
+    solver: SolverParams = struct.field(default_factory=SolverParams)
+    vehicle: VehicleParams = struct.field(default_factory=VehicleParams)
+
+
+def spawn_player_vehicle(state, slot: int, pos=(0.0, 1.2, 0.0)):
+    """The demo player car: 1200 kg, 2x1x4 m chassis with COM offset
+    (VehicleDemoSystem, sc_vehicle.cpp:436-501)."""
+    vp = VehicleParams()
+    half = jnp.asarray([1.0, 0.5, 2.0])
+    com = jnp.asarray([0.0, -0.35, 0.0])
+    wheels = default_wheel_configs(half, vp, com_offset=com)
+    i = slot
+    state = state.replace(
+        alive=state.alive.at[i].set(True),
+        components=state.components.at[i].set(
+            ent.C_TRANSFORM | ent.C_RENDER_MESH | ent.C_BOUNDS | ent.C_COLLIDER
+            | ent.C_RIGID_BODY | ent.C_VEHICLE | ent.C_VEHICLE_INPUT | ent.C_PLAYER
+        ),
+        transform=state.transform.replace(
+            pos=state.transform.pos.at[i].set(jnp.asarray(pos)),
+            scale=state.transform.scale.at[i].set(jnp.asarray([2.0, 1.0, 4.0])),
+        ),
+        render=state.render.replace(
+            mesh_id=state.render.mesh_id.at[i].set(0),
+            material_id=state.render.material_id.at[i].set(0),
+        ),
+        body=state.body.replace(
+            body_type=state.body.body_type.at[i].set(ent.BODY_DYNAMIC),
+            half_extents=state.body.half_extents.at[i].set(half),
+            mass=state.body.mass.at[i].set(vp.mass),
+            com_offset=state.body.com_offset.at[i].set(com),
+            ang_damping=state.body.ang_damping.at[i].set(0.5),
+        ),
+        vehicle=state.vehicle.replace(
+            wheel_conn=state.vehicle.wheel_conn.at[i].set(wheels.conn),
+        ),
+    )
+    return state
+
+
+def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
+    """The device tick: (state, lanes, player_idx, input4, n_steps) ->
+    (state, despawn_mask, telemetry scalars)."""
+    tcfg = cfg.traffic
+    dt = cfg.physics.fixed_dt
+
+    def tick(state, lanes, player_idx, player_input, n_steps):
+        # player input -> vehicle input column (Input phase)
+        state = state.replace(
+            vehicle=state.vehicle.replace(
+                input=state.vehicle.input.at[player_idx].set(player_input)
+            )
+        )
+        player_pos = state.transform.pos[player_idx]
+
+        # Simulation phase: traffic LOD
+        state, despawn = traffic_lod_update(state, player_pos, tcfg)
+
+        # FixedUpdate xN (scan over static bound, masked)
+        def fixed(state, i):
+            active = i < n_steps
+
+            def run(s):
+                bodies = bodies_from_state(s)
+                is_veh = (s.components & ent.C_VEHICLE) != 0
+                s = traffic_ai_update(s, lanes, bodies, is_veh, tcfg, dt)
+                s = physics_sync_step(s, sim.solver, sim.vehicle, dt)
+                return s
+
+            new = run(state)
+            state = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(active, (1,) * a.ndim), a, b
+                ),
+                new,
+                state,
+            )
+            return state, None
+
+        state, _ = jax.lax.scan(fixed, state, jnp.arange(max_substeps))
+
+        counts = tier_counts(state)
+        return state, despawn, counts
+
+    return tick
+
+
+def chase_camera(state, player_idx, cam_state, dt, cfg: EngineConfig):
+    """Spring-damper chase cam with speed FOV (VehicleCameraSystem,
+    sc_vehicle.cpp:527-649) — pure, device-side."""
+    pos = state.transform.pos[player_idx]
+    rot = state.transform.rot[player_idx]
+    fwd = m3.quat_rotate(rot, jnp.asarray([0.0, 0.0, 1.0]))
+    fwd = m3.safe_normalize(fwd * jnp.asarray([1.0, 0.0, 1.0]), jnp.asarray([0.0, 0.0, 1.0]))
+    desired = pos - fwd * 9.0 + jnp.asarray([0.0, 3.5, 0.0])
+    stiff = 6.0
+    cam_pos = cam_state + (desired - cam_state) * (1.0 - jnp.exp(-stiff * dt))
+    target = pos + jnp.asarray([0.0, 1.0, 0.0])
+    return cam_pos, target
+
+
+class Sandbox:
+    """Composes the whole engine; one object = the reference's sc_sandbox."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig | None = None,
+        capacity: int = 4096,
+        raster: RasterParams | None = None,
+        world_root: str | None = None,
+        with_traffic: bool = True,
+    ):
+        self.cfg = cfg or EngineConfig()
+        self.raster = raster or RasterParams(
+            width=640, height=352, max_tris=32768, max_tris_per_tile=256
+        )
+        self.capacity = capacity
+        self.state = ent.alloc_entity_state(capacity)
+        self.partition = WorldPartition(
+            self.cfg.world, self.cfg.streaming, capacity, world_root=world_root
+        )
+        self.lanes = LaneGraphBuilder(max_nodes=1024, max_segments=1024)
+        self.spawner = TrafficSpawner(self.cfg.traffic, self.cfg.world) if with_traffic else None
+        self.assets = AssetManager(self.cfg.residency)
+        self.mesh_pool = build_mesh_pool()
+        self.telemetry = TelemetryHub()
+        self.clock = FixedStepClock(
+            fixed_dt=self.cfg.physics.fixed_dt,
+            max_substeps=self.cfg.physics.max_substeps,
+        )
+
+        # materials 0/1/2 = unlit/checker/test (streaming default resolver)
+        chk = self.assets.add_texture_pixels("gen/checker", tx.checker_texture())
+        tst = self.assets.add_texture_pixels("gen/test", tx.fallback_texture())
+        self.assets.create_material("materials/unlit", albedo_texture=0)
+        self.assets.create_material("materials/checker", albedo_texture=chk)
+        self.assets.create_material("materials/test", albedo_texture=tst)
+
+        # player vehicle in the last slot (streaming fills from the bottom)
+        self.player_slot = capacity - 1
+        self.state = spawn_player_vehicle(self.state, self.player_slot)
+        self.partition._alive[self.player_slot] = True
+        self.partition._free.remove(self.player_slot)
+
+        self.sim = SimParams(
+            solver=SolverParams(
+                gravity=self.cfg.physics.gravity,
+                dt=self.cfg.physics.fixed_dt,
+                iterations=self.cfg.physics.solver_iterations,
+                max_pairs=256,
+            ),
+            vehicle=VehicleParams(),
+        )
+        self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
+        self._render = jax.jit(self._render_impl)
+        self._lane_arrays = None
+        self.cam_pos = jnp.asarray([0.0, 5.0, -12.0])
+        self.frame_no = 0
+        self._pending_lod_despawn = None
+
+    # ------------------------------------------------------------------
+    def _render_impl(self, state, cam_pos, cam_target, materials, textures):
+        vp = camera_view_proj(
+            cam_pos,
+            cam_target,
+            jnp.asarray([0.0, 1.0, 0.0]),
+            aspect=self.raster.width / self.raster.height,
+            params=CameraParams(fov_y_deg=self.cfg.render.fov_y_deg),
+        )
+        visible, mats = cull_entities(state, vp)
+        draws = emit_draws(state, visible, mats, self.cfg.streaming.max_draws)
+        rgb, gbuf, stats = render_frame(
+            draws, self.mesh_pool, vp, self.raster, materials, textures
+        )
+        stats["visible"] = jnp.sum(visible.astype(jnp.int32))
+        return rgb, stats
+
+    def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
+        """One engine frame; returns (rgb, FrameTelemetry)."""
+        self.frame_no += 1
+        tel = self.telemetry
+        tel.begin_frame(self.frame_no)
+
+        t0 = time.perf_counter()
+        # host phase: apply last frame's LOD despawns, stream, spawn traffic
+        if self._pending_lod_despawn is not None:
+            mask = self._pending_lod_despawn
+            slots = np.where(mask)[0].tolist()
+            if slots:
+                self.partition._despawn_queue.extend(
+                    (s, tuple(np.asarray(self.state.sector[s]).tolist())) for s in slots
+                )
+            self._pending_lod_despawn = None
+
+        cam_np = np.asarray(self.cam_pos)
+        self.state = self.partition.update(
+            self.state, cam_np, np.asarray([0.0, 0.0, 1.0])
+        )
+        if self.spawner is not None:
+            snap = snapshot_agents(self.state)
+            player_np = snap["pos"][self.player_slot]
+            self.state = self.spawner.update(
+                self.state, self.partition, self.lanes, player_np, snap
+            )
+        self.assets.begin_frame()
+        if self.lanes.dirty or self._lane_arrays is None:
+            self._lane_arrays = self.lanes.to_arrays()
+        tel.current.stream_ms = (time.perf_counter() - t0) * 1e3
+
+        # device sim tick
+        t0 = time.perf_counter()
+        n_steps = self.clock.advance(frame_dt)
+        dt_arg = 0.0 if self.clock.paused else self.cfg.physics.fixed_dt
+        del dt_arg
+        self.state, despawn, counts = self._tick(
+            self.state,
+            self._lane_arrays,
+            self.player_slot,
+            jnp.asarray(player_input, jnp.float32),
+            jnp.int32(n_steps),
+        )
+        self._pending_lod_despawn = np.asarray(despawn)
+        tel.current.sim_ms = (time.perf_counter() - t0) * 1e3
+
+        # camera + render
+        t0 = time.perf_counter()
+        cam_pos, cam_target = chase_camera(
+            self.state, self.player_slot, self.cam_pos, frame_dt, self.cfg
+        )
+        self.cam_pos = cam_pos
+        rgb, rstats = self._render(
+            self.state,
+            cam_pos,
+            cam_target,
+            self.assets.device_materials(),
+            self.assets.device_pool(),
+        )
+        tel.current.render_ms = (time.perf_counter() - t0) * 1e3
+
+        # telemetry
+        t = tel.current
+        t.entities = self.partition.stats.entities
+        t.active_sectors = self.partition.stats.active_sectors
+        t.queued_sectors = self.partition.stats.queued
+        t.loading_sectors = self.partition.stats.loading
+        t.stream_activations = self.partition.stats.activations_this_frame
+        t.stream_despawns = self.partition.stats.despawns_this_frame
+        t.traffic_total = int(counts["total"])
+        t.traffic_physics = int(counts["physics"])
+        t.traffic_kinematic = int(counts["kinematic"])
+        t.traffic_onrails = int(counts["onrails"])
+        if self.spawner is not None:
+            t.traffic_spawns = self.spawner.spawns_this_frame
+        t.visible = int(rstats["visible"])
+        t.draws = int(rstats["tris_in"])
+        t.resident_textures = self.assets.stats.resident_textures
+        t.resident_bytes = self.assets.stats.resident_bytes
+        t.texture_evictions = self.assets.stats.evictions
+        tel.end_frame()
+        return rgb, t
+
+    def shutdown(self):
+        self.partition.shutdown()

@@ -103,7 +103,8 @@ def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
             attr_ref[:] = jnp.where(mask[None, :, :], new, attrs)
 
     # dynamic bound: sparsely occupied tiles cost only their real triangles
-    jax.lax.fori_loop(0, count_ref[0, 0], body, None)
+    n = count_ref[ty * pl.num_programs(1) + tx]
+    jax.lax.fori_loop(0, n, body, None)
 
 
 def rasterize_tiles(binned, params, counts=None) -> dict:
@@ -119,34 +120,35 @@ def rasterize_tiles(binned, params, counts=None) -> dict:
         counts = jnp.full((params.n_tiles,), params.max_tris_per_tile, jnp.int32)
 
     kernel = functools.partial(_raster_tile_kernel, params=params)
-    depth, attrs = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # per-tile occupancy counts
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(
-                (1, 1),
-                lambda ty, tx: (ty * ntx + tx, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
                 (1, params.max_tris_per_tile, pipe.N_FIELDS),
-                lambda ty, tx: (ty * ntx + tx, 0, 0),
+                lambda ty, tx, counts: (ty * ntx + tx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda ty, tx, counts: (ty, tx), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (N_ATTR, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+                (N_ATTR, th, tw),
+                lambda ty, tx, counts: (0, ty, tx),
+                memory_space=pltpu.VMEM,
             ),
         ],
+    )
+    depth, attrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((N_ATTR, h_pad, w_pad), jnp.float32),
         ],
         interpret=params.interpret,
     )(
-        jnp.minimum(counts, params.max_tris_per_tile).astype(jnp.int32)[:, None],
+        jnp.minimum(counts, params.max_tris_per_tile).astype(jnp.int32),
         binned,
     )
 

@@ -1,0 +1,160 @@
+"""Physics <-> entity-state bridge: the PhysicsSyncSystem equivalent.
+
+The reference's PhysicsSyncSystem creates Bullet bodies for new
+(RigidBody, Collider, Transform) entities, pushes kinematic targets, steps
+the world and writes dynamic transforms back (sc_physics.cpp:1096-1190).
+Here there is no body registry: entity slot == body slot, and the
+"create/destroy" lifecycle is just the per-slot masks — a RigidBodies view
+is assembled from the entity columns each step (free: XLA fuses it), stepped,
+and written back.
+
+Vehicles: entities with vehicle inputs get wheel-ray impulses applied before
+the contact solve, mirroring VehicleSystemPreStep -> Bullet step ->
+VehicleSystemPostStep ordering (sc_vehicle.cpp:165-434).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from scx.core import math3d as m3
+from scx.physics.rigid import RigidBodies, shape_inertia_diag
+from scx.physics.solver import SolverParams, step_bodies
+from scx.physics.vehicle import (
+    VehicleParams,
+    WheelConfig,
+    smooth_controls,
+    vehicle_forces,
+    vehicle_speed_ms,
+)
+from scx.state.entity import (
+    BODY_DYNAMIC,
+    BODY_STATIC,
+    C_VEHICLE,
+    EntityState,
+)
+
+MAX_VEHICLES = 32  # fixed vehicle-slot capacity per scene
+
+
+def bodies_from_state(state: EntityState) -> RigidBodies:
+    """RigidBodies view over the entity columns (zero-copy in spirit —
+    XLA fuses the element-wise assembly into the consumers)."""
+    b = state.body
+    active = state.alive & (b.body_type >= 0)
+    dynamic = b.body_type == BODY_DYNAMIC
+    inv_mass = jnp.where(active & dynamic & (b.mass > 0), 1.0 / jnp.maximum(b.mass, 1e-9), 0.0)
+    inertia = shape_inertia_diag(b.shape, b.half_extents, b.mass)
+    inv_inertia = jnp.where(
+        (active & dynamic & (b.mass > 0))[:, None], 1.0 / jnp.maximum(inertia, 1e-9), 0.0
+    )
+    layer = jnp.where(
+        b.body_type == BODY_STATIC, jnp.uint32(2), jnp.uint32(1)
+    ) | b.layer * 0  # keep explicit layers when set
+    layer = jnp.where(b.layer != 1, b.layer, layer)
+    return RigidBodies(
+        pos=state.transform.pos + m3.quat_rotate(state.transform.rot, b.com_offset),
+        quat=state.transform.rot,
+        vel=b.vel,
+        omega=b.omega,
+        shape=b.shape,
+        size=b.half_extents,
+        inv_mass=inv_mass,
+        inv_inertia=inv_inertia,
+        friction=b.friction,
+        restitution=b.restitution,
+        lin_damping=b.lin_damping,
+        ang_damping=b.ang_damping,
+        layer=layer,
+        mask=b.mask,
+        active=active,
+        shape_offset=-b.com_offset,
+    )
+
+
+def write_back(state: EntityState, bodies: RigidBodies) -> EntityState:
+    """Dynamic transforms from physics -> ECS with COM correction
+    (the PhysicsSync/TrafficPhysicsSync writeback, sc_traffic_ai.cpp:494-585)."""
+    dyn = bodies.active & (bodies.inv_mass > 0)
+    visual_pos = bodies.pos - m3.quat_rotate(bodies.quat, state.body.com_offset)
+    return state.replace(
+        transform=state.transform.replace(
+            pos=jnp.where(dyn[:, None], visual_pos, state.transform.pos),
+            rot=jnp.where(dyn[:, None], bodies.quat, state.transform.rot),
+        ),
+        body=state.body.replace(
+            vel=jnp.where(dyn[:, None], bodies.vel, state.body.vel),
+            omega=jnp.where(dyn[:, None], bodies.omega, state.body.omega),
+        ),
+    )
+
+
+def vehicle_slots(state: EntityState):
+    """Fixed-capacity list of vehicle entity indices (lowest-first)."""
+    n = state.capacity
+    is_vehicle = state.alive & ((state.components & C_VEHICLE) != 0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(is_vehicle, idx, n)
+    slots = jnp.sort(key)[:MAX_VEHICLES]
+    return slots, slots < n
+
+
+def physics_sync_step(
+    state: EntityState,
+    params: SolverParams,
+    vparams: VehicleParams,
+    dt,
+) -> EntityState:
+    """One fixed step: vehicle pre-step -> solver step -> write back."""
+    bodies = bodies_from_state(state)
+
+    slots, valid = vehicle_slots(state)
+
+    def one_vehicle(slot, ok):
+        safe = jnp.minimum(slot, state.capacity - 1)
+        speed = vehicle_speed_ms(bodies, safe)
+        sm, engine, brake, steer, hb = smooth_controls(
+            state.vehicle.smoothed[safe], state.vehicle.input[safe], vparams, speed, dt
+        )
+        wheels = WheelConfig(
+            conn=state.vehicle.wheel_conn[safe],
+            front=jnp.asarray([True, True, False, False]),
+        )
+        dv, dw, rt = vehicle_forces(
+            bodies, safe, wheels, engine, brake, steer, hb, vparams, dt
+        )
+        z = jnp.where(ok, 1.0, 0.0)
+        return safe, dv * z, dw * z, sm, rt
+
+    v_safe, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid)
+    bodies = bodies.replace(
+        vel=bodies.vel.at[v_safe].add(v_dv, mode="drop"),
+        omega=bodies.omega.at[v_safe].add(v_dw, mode="drop"),
+    )
+    # persist smoothed controls + wheel runtime
+    sm = state.vehicle.smoothed
+    sm = sm.at[v_safe].set(jnp.where(valid[:, None], v_sm, sm[v_safe]), mode="drop")
+    susp = state.vehicle.susp_len.at[v_safe].set(
+        jnp.where(valid[:, None], v_rt.susp_len, state.vehicle.susp_len[v_safe]),
+        mode="drop",
+    )
+    contact = state.vehicle.wheel_contact.at[v_safe].set(
+        jnp.where(valid[:, None], v_rt.in_contact, state.vehicle.wheel_contact[v_safe]),
+        mode="drop",
+    )
+    state = state.replace(
+        vehicle=state.vehicle.replace(
+            smoothed=sm, susp_len=susp, wheel_contact=contact
+        )
+    )
+
+    bodies = step_bodies(bodies, params)
+    state = write_back(state, bodies)
+
+    # record vehicle speeds into traffic.speed for the AI's P-control
+    speeds = jax.vmap(lambda i: vehicle_speed_ms(bodies, i))(v_safe)
+    tr_speed = state.traffic.speed.at[v_safe].set(
+        jnp.where(valid, speeds, state.traffic.speed[v_safe]), mode="drop"
+    )
+    return state.replace(traffic=state.traffic.replace(speed=tr_speed))

@@ -1,0 +1,115 @@
+"""Telemetry: per-frame snapshot structs mirroring the reference's debug
+overlay surface.
+
+The reference publishes double-buffered snapshot structs from every
+subsystem (scheduler per-system ms sc_scheduler.h:29-33, ECS counts
+sc_ecs.h:178-186, streaming sc_world_partition.h:164-190, jobs, assets,
+traffic — all rendered by the ImGui overlay, sc_imgui.cpp:186-629).  Here
+the same counters are collected into one plain dataclass per frame; the
+"overlay" is whatever host UI wants it (printed, logged, or drawn into the
+framebuffer by scx.render.debug).
+
+Double-buffering is unnecessary on the host loop (single producer), but the
+hub keeps previous/current frames so rates can be derived.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FrameTelemetry:
+    frame: int = 0
+    wall_ms: float = 0.0
+    sim_ms: float = 0.0
+    render_ms: float = 0.0
+    stream_ms: float = 0.0
+    fps: float = 0.0
+
+    entities: int = 0
+    draws: int = 0
+    visible: int = 0
+    culled: int = 0
+
+    # streaming (StreamingStats mirror)
+    active_sectors: int = 0
+    queued_sectors: int = 0
+    loading_sectors: int = 0
+    stream_activations: int = 0
+    stream_despawns: int = 0
+
+    # traffic (TrafficDebugState counters)
+    traffic_total: int = 0
+    traffic_physics: int = 0
+    traffic_kinematic: int = 0
+    traffic_onrails: int = 0
+    traffic_spawns: int = 0
+
+    # physics
+    bodies_active: int = 0
+    contacts: int = 0
+
+    # assets (AssetStats mirror)
+    resident_textures: int = 0
+    resident_bytes: int = 0
+    texture_evictions: int = 0
+
+    # top host scopes (name, ms)
+    top_scopes: list = field(default_factory=list)
+
+
+class TelemetryHub:
+    """Collects one FrameTelemetry per frame; keeps a short history."""
+
+    def __init__(self, history: int = 120):
+        self.history: list[FrameTelemetry] = []
+        self.max_history = history
+        self._frame_start = 0.0
+        self.current = FrameTelemetry()
+
+    def begin_frame(self, frame: int):
+        self.current = FrameTelemetry(frame=frame)
+        self._frame_start = time.perf_counter()
+
+    def end_frame(self):
+        t = self.current
+        t.wall_ms = (time.perf_counter() - self._frame_start) * 1e3
+        t.fps = 1000.0 / t.wall_ms if t.wall_ms > 0 else 0.0
+        self.history.append(t)
+        if len(self.history) > self.max_history:
+            self.history.pop(0)
+        return t
+
+    def averages(self, n: int = 60) -> dict:
+        h = self.history[-n:]
+        if not h:
+            return {}
+        return {
+            "fps": sum(x.fps for x in h) / len(h),
+            "wall_ms": sum(x.wall_ms for x in h) / len(h),
+            "sim_ms": sum(x.sim_ms for x in h) / len(h),
+            "render_ms": sum(x.render_ms for x in h) / len(h),
+        }
+
+    def format_overlay(self) -> str:
+        """Text form of the reference's Debug Overlay window."""
+        t = self.current
+        lines = [
+            f"frame {t.frame}  {t.fps:6.1f} fps  wall {t.wall_ms:6.2f} ms "
+            f"(sim {t.sim_ms:.2f} render {t.render_ms:.2f} stream {t.stream_ms:.2f})",
+            f"entities {t.entities}  draws {t.draws}  visible {t.visible} "
+            f"culled {t.culled}",
+            f"sectors active {t.active_sectors} queued {t.queued_sectors} "
+            f"loading {t.loading_sectors}  +{t.stream_activations}/-{t.stream_despawns}",
+            f"traffic {t.traffic_total} (A {t.traffic_physics} B "
+            f"{t.traffic_kinematic} C {t.traffic_onrails}) spawns {t.traffic_spawns}",
+            f"assets {t.resident_textures} tex {t.resident_bytes // 1024} KiB "
+            f"evictions {t.texture_evictions}",
+        ]
+        if t.top_scopes:
+            lines.append(
+                "scopes: " + "  ".join(f"{n} {ms:.2f}ms" for n, ms in t.top_scopes)
+            )
+        return "\n".join(lines)
