@@ -96,8 +96,10 @@ def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
     total = cum[-1]
     starts = cum - counts
     e = jnp.arange(max_tris, dtype=jnp.int32)
-    draw_idx = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    draw_idx = jnp.minimum(draw_idx, counts.shape[0] - 1)
+    # draw boundaries by scatter+cumsum (searchsorted is gather-bound on TPU)
+    marks = jnp.zeros(max_tris, jnp.int32).at[starts].add(1, mode="drop")
+    draw_idx = jnp.minimum(jnp.cumsum(marks) - 1, counts.shape[0] - 1)
+    draw_idx = jnp.maximum(draw_idx, 0)
     local = e - starts[draw_idx]
     live = e < total
     tri_pool = pool.mesh_first_tri[draws.mesh_id[draw_idx]] + local
@@ -219,11 +221,24 @@ def bin_triangles(setup, aabb, valid, params: RasterParams):
     rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # [tiles, T] monotone
     counts = rank[:, -1]
 
+    # index recovery by scatter (searchsorted is gather-bound on TPU):
+    # each overlapping (tile, tri) writes tri into slot rank-1; ranks are
+    # unique per tile so every slot has exactly one writer.
     k = params.max_tris_per_tile
-    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    tri_ids = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(rank)
-    in_range = targets[None, :] <= counts[:, None]
-    tri_ids = jnp.where(in_range, jnp.minimum(tri_ids, params.max_tris - 1), 0)
+    t = params.max_tris
+    pos = jnp.where(overlap, rank - 1, k)  # non-overlapping -> dropped slot
+    pos = jnp.minimum(pos, k)
+    tile_rows = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, t)
+    )
+    tri_cols = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (n_tiles, t))
+    tri_ids = (
+        jnp.zeros((n_tiles, k + 1), jnp.int32)
+        .at[tile_rows, pos]
+        .set(tri_cols, mode="drop")[:, :k]
+    )
+    slot = jnp.arange(k, dtype=jnp.int32)
+    in_range = slot[None, :] < counts[:, None]
 
     binned = setup[tri_ids]  # [tiles, K, F]
     binned = binned.at[:, :, F_VALID].set(
