@@ -53,7 +53,7 @@ class SimParams:
     vehicle: VehicleParams = struct.field(default_factory=VehicleParams)
 
 
-def spawn_player_vehicle(state, slot: int, pos=(0.0, 1.2, 0.0)):
+def spawn_player_vehicle(state, slot: int, pos=(0.0, 0.6, 0.0)):
     """The demo player car: 1200 kg, 2x1x4 m chassis with COM offset
     (VehicleDemoSystem, sc_vehicle.cpp:436-501)."""
     vp = VehicleParams()

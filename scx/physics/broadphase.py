@@ -46,9 +46,18 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     flat_j = iu[1].astype(jnp.int32)
     valid = (overlap & either_dyn & layer_ok & both_active)[flat_i, flat_j]
 
-    # compaction: stable sort by (!valid) keeps pair order among the valid
-    order = jnp.argsort(~valid, stable=True)[:max_pairs]
-    ia = flat_i[order]
-    ib = flat_j[order]
-    val = valid[order]
+    # compaction by scatter: the k-th valid pair writes itself into slot k
+    # (ranks are unique, deterministic pair order preserved; argsort-based
+    # compaction is far slower on TPU)
+    rank = jnp.cumsum(valid.astype(jnp.int32))
+    pos = jnp.where(valid, rank - 1, max_pairs)
+    pos = jnp.minimum(pos, max_pairs)
+    ia = (
+        jnp.zeros(max_pairs + 1, jnp.int32).at[pos].set(flat_i, mode="drop")[:max_pairs]
+    )
+    ib = (
+        jnp.zeros(max_pairs + 1, jnp.int32).at[pos].set(flat_j, mode="drop")[:max_pairs]
+    )
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    val = jnp.arange(max_pairs) < n_valid
     return ia, ib, val

@@ -112,7 +112,7 @@ def physics_sync_step(
     slots, valid = vehicle_slots(state)
 
     def one_vehicle(slot, ok):
-        safe = jnp.minimum(slot, state.capacity - 1)
+        safe = jnp.minimum(slot, state.capacity - 1)  # gather index
         speed = vehicle_speed_ms(bodies, safe)
         sm, engine, brake, steer, hb = smooth_controls(
             state.vehicle.smoothed[safe], state.vehicle.input[safe], vparams, speed, dt
@@ -125,27 +125,24 @@ def physics_sync_step(
             bodies, safe, wheels, engine, brake, steer, hb, vparams, dt
         )
         z = jnp.where(ok, 1.0, 0.0)
-        return safe, dv * z, dw * z, sm, rt
+        # scatter index: invalid slots write out of range (dropped), so they
+        # can never collide with a real vehicle's update
+        scatter = jnp.where(ok, safe, state.capacity)
+        return scatter, dv * z, dw * z, sm, rt
 
-    v_safe, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid)
+    v_idx, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid)
     bodies = bodies.replace(
-        vel=bodies.vel.at[v_safe].add(v_dv, mode="drop"),
-        omega=bodies.omega.at[v_safe].add(v_dw, mode="drop"),
+        vel=bodies.vel.at[v_idx].add(v_dv, mode="drop"),
+        omega=bodies.omega.at[v_idx].add(v_dw, mode="drop"),
     )
-    # persist smoothed controls + wheel runtime
-    sm = state.vehicle.smoothed
-    sm = sm.at[v_safe].set(jnp.where(valid[:, None], v_sm, sm[v_safe]), mode="drop")
-    susp = state.vehicle.susp_len.at[v_safe].set(
-        jnp.where(valid[:, None], v_rt.susp_len, state.vehicle.susp_len[v_safe]),
-        mode="drop",
-    )
-    contact = state.vehicle.wheel_contact.at[v_safe].set(
-        jnp.where(valid[:, None], v_rt.in_contact, state.vehicle.wheel_contact[v_safe]),
-        mode="drop",
-    )
+    # persist smoothed controls + wheel runtime (invalid rows drop)
     state = state.replace(
         vehicle=state.vehicle.replace(
-            smoothed=sm, susp_len=susp, wheel_contact=contact
+            smoothed=state.vehicle.smoothed.at[v_idx].set(v_sm, mode="drop"),
+            susp_len=state.vehicle.susp_len.at[v_idx].set(v_rt.susp_len, mode="drop"),
+            wheel_contact=state.vehicle.wheel_contact.at[v_idx].set(
+                v_rt.in_contact, mode="drop"
+            ),
         )
     )
 
@@ -153,8 +150,6 @@ def physics_sync_step(
     state = write_back(state, bodies)
 
     # record vehicle speeds into traffic.speed for the AI's P-control
-    speeds = jax.vmap(lambda i: vehicle_speed_ms(bodies, i))(v_safe)
-    tr_speed = state.traffic.speed.at[v_safe].set(
-        jnp.where(valid, speeds, state.traffic.speed[v_safe]), mode="drop"
-    )
+    speeds = jax.vmap(lambda i: vehicle_speed_ms(bodies, jnp.minimum(i, state.capacity - 1)))(v_idx)
+    tr_speed = state.traffic.speed.at[v_idx].set(speeds, mode="drop")
     return state.replace(traffic=state.traffic.replace(speed=tr_speed))

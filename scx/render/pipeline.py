@@ -66,6 +66,9 @@ class RasterParams:
     cull_backface: bool = struct.field(pytree_node=False, default=True)
     min_area2 : float = struct.field(pytree_node=False, default=1e-6)
     interpret: bool = struct.field(pytree_node=False, default=False)
+    # cluster path: 64-tri meshlet binning + DMA kernel (the fast path)
+    use_clusters: bool = struct.field(pytree_node=False, default=True)
+    max_clusters_per_tile: int = struct.field(pytree_node=False, default=64)
 
     @property
     def tiles_x(self) -> int:
@@ -306,16 +309,28 @@ def render_frame(
 ):
     """Full frame: returns (rgb [H,W,3], gbuffer dict, stats dict)."""
     from scx.ops import raster as raster_ops
+    from scx.ops import raster_clusters as rc
 
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
-    binned, counts = bin_triangles(setup, aabb, valid, params)
-    gbuffer = raster_ops.rasterize_tiles(binned, params, counts)
+    if params.use_clusters:
+        cl_aabb, cl_valid = rc.cluster_bounds(aabb, valid, params.max_tris)
+        cl_ids, cl_counts = rc.bin_clusters(
+            cl_aabb, cl_valid, params, params.max_clusters_per_tile
+        )
+        gbuffer = rc.rasterize_clusters(
+            setup, cl_ids, cl_counts, params, params.max_clusters_per_tile
+        )
+        occupancy = cl_counts
+        overflow_cap = params.max_clusters_per_tile
+    else:
+        binned, counts = bin_triangles(setup, aabb, valid, params)
+        gbuffer = raster_ops.rasterize_tiles(binned, params, counts)
+        occupancy = counts
+        overflow_cap = params.max_tris_per_tile
     rgb = shade(gbuffer, materials, textures)
     stats = {
         "tris_in": jnp.sum(valid.astype(jnp.int32)),
-        "max_tile_occupancy": jnp.max(counts),
-        "tile_overflow": jnp.sum(
-            (counts > params.max_tris_per_tile).astype(jnp.int32)
-        ),
+        "max_tile_occupancy": jnp.max(occupancy),
+        "tile_overflow": jnp.sum((occupancy >= overflow_cap).astype(jnp.int32)),
     }
     return rgb, gbuffer, stats

@@ -1,0 +1,73 @@
+"""Cluster-binned raster path: equivalence with the reference rasterizer."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from scx import render as rd
+from scx.core import math3d as m3
+from scx.ops import raster as ops
+from scx.ops import raster_clusters as rc
+from scx.render import pipeline as pipe
+
+
+def test_cluster_path_matches_reference():
+    pool = rd.build_mesh_pool()
+    params = rd.RasterParams(
+        width=256, height=64, tile_h=16, tile_w=128,
+        max_tris=256, max_tris_per_tile=64, max_clusters_per_tile=4,
+        interpret=True,
+    )
+    vp = rd.camera_view_proj(
+        jnp.asarray([1.5, 1.2, 2.5]), jnp.asarray([0.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]), aspect=256 / 64,
+    )
+    models = [
+        m3.mat4_trs(
+            jnp.asarray([dx, 0.0, dz]), jnp.asarray([0.0, a, 0.0]), jnp.ones(3)
+        )
+        for dx, dz, a in [(0.0, 0.0, 0.3), (1.2, -0.5, 0.9), (-1.0, 0.4, 0.0)]
+    ]
+    draws = rd.DrawList(
+        mesh_id=jnp.full((3,), rd.MESH_CUBE, jnp.int32),
+        material_id=jnp.arange(3, dtype=jnp.int32),
+        model=jnp.stack(models),
+        valid=jnp.ones((3,), bool),
+    )
+    setup, aabb, valid = pipe.setup_triangles(draws, pool, vp, params)
+    ref = ops.rasterize_reference(setup, params)
+
+    cl_aabb, cl_valid = rc.cluster_bounds(aabb, valid, params.max_tris)
+    cl_ids, cl_counts = rc.bin_clusters(cl_aabb, cl_valid, params, 4)
+    got = rc.rasterize_clusters(setup, cl_ids, cl_counts, params, 4)
+
+    np.testing.assert_allclose(
+        np.asarray(got["depth"]), np.asarray(ref["depth"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got["mat"]), np.asarray(ref["mat"]))
+    np.testing.assert_allclose(
+        np.asarray(got["color"]), np.asarray(ref["color"]), atol=1e-4
+    )
+
+
+def test_cluster_bounds_and_binning():
+    params = rd.RasterParams(
+        width=256, height=64, tile_h=16, tile_w=128, max_tris=128,
+        interpret=True,
+    )
+    t = params.max_tris
+    aabb = np.zeros((t, 4), np.float32)
+    valid = np.zeros(t, bool)
+    # cluster 0: tris around x in [0,100] -> tile column 0 only
+    aabb[0] = [10, 5, 90, 12]
+    valid[0] = True
+    # cluster 1: tri at x in [200,250] -> column 1
+    aabb[64] = [200, 30, 250, 31]
+    valid[64] = True
+    cl_aabb, cl_valid = rc.cluster_bounds(jnp.asarray(aabb), jnp.asarray(valid), t)
+    assert cl_valid.tolist() == [True, True]
+    ids, counts = rc.bin_clusters(cl_aabb, cl_valid, params, 4)
+    counts = np.asarray(counts).reshape(params.tiles_y, params.tiles_x)
+    # tile (0,0) sees cluster 0; tile (0,1) wait x=200 -> tile col 1; y=30 -> row 1
+    assert counts[0, 0] == 1
+    assert counts[1, 1] == 1
+    assert counts.sum() == 2
