@@ -1,0 +1,82 @@
+"""Simulation checkpoint / resume.
+
+The reference has no runtime save-game — persistence is only the authored
+sector files (SURVEY §5.4).  On this engine the ENTIRE simulation state is
+one SoA pytree, so checkpointing is a strict improvement and nearly free:
+every leaf serializes to one .npz, and restoring rebuilds the exact device
+state (bitwise, same shapes — streaming bookkeeping is snapshotted
+alongside).  Orbax is available for sharded multi-host checkpoints; the
+single-host default stays dependency-light.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from scx.state import entity as ent
+
+_FORMAT_VERSION = 1
+
+
+def _flatten(state) -> dict:
+    leaves = {}
+
+    def visit(prefix, node):
+        if hasattr(node, "__dataclass_fields__"):
+            for name in node.__dataclass_fields__:
+                visit(f"{prefix}{name}.", getattr(node, name))
+        else:
+            leaves[prefix[:-1]] = np.asarray(node)
+
+    visit("", state)
+    return leaves
+
+
+def save_checkpoint(path: str, state: ent.EntityState, extra: dict | None = None):
+    """Write sim state (+ optional host bookkeeping dict) to <path>.npz/.json."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    leaves = _flatten(state)
+    np.savez_compressed(path + ".npz", **leaves)
+    meta = {
+        "format": _FORMAT_VERSION,
+        "capacity": int(state.capacity),
+        "extra": extra or {},
+    }
+    with open(path + ".json", "w") as fh:
+        json.dump(meta, fh)
+    return True
+
+
+def load_checkpoint(path: str):
+    """Returns (EntityState, extra dict) or None."""
+    try:
+        with open(path + ".json") as fh:
+            meta = json.load(fh)
+        data = np.load(path + ".npz")
+    except OSError:
+        return None
+    if meta.get("format") != _FORMAT_VERSION:
+        return None
+    state = ent.alloc_entity_state(meta["capacity"])
+
+    def rebuild(prefix, node):
+        if hasattr(node, "__dataclass_fields__"):
+            updates = {}
+        else:
+            raise AssertionError
+        for name in node.__dataclass_fields__:
+            child = getattr(node, name)
+            key = f"{prefix}{name}"
+            if hasattr(child, "__dataclass_fields__"):
+                updates[name] = rebuild(key + ".", child)
+            else:
+                arr = data[key]
+                updates[name] = jax.numpy.asarray(arr)
+        return node.replace(**updates)
+
+    state = rebuild("", state)
+    return state, meta.get("extra", {})

@@ -34,13 +34,19 @@ N_ATTR = 6  # r, g, b, u, v, mat
 
 
 def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
-    th, tw = params.tile_h, params.tile_w
-
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    n = count_ref[ty * pl.num_programs(1) + tx]
+    _raster_tile_body(
+        n, lambda k, f: binned_ref[0, k, f], depth_ref, attr_ref, ty, tx, params
+    )
 
-    depth_ref[:] = jnp.ones((th, tw), jnp.float32)
-    attr_ref[:] = jnp.zeros((N_ATTR, th, tw), jnp.float32)
+
+def _raster_tile_body(n, load, depth_ref, attr_ref, ty, tx, params):
+    th, tw = params.tile_h, params.tile_w
+
+    depth_ref[...] = jnp.ones(depth_ref.shape, jnp.float32)
+    attr_ref[...] = jnp.zeros(attr_ref.shape, jnp.float32)
 
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
@@ -54,11 +60,11 @@ def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
     )
 
     def body(k, _):
-        valid = binned_ref[0, k, pipe.F_VALID] > 0.0
+        valid = load(k, pipe.F_VALID) > 0.0
 
         @pl.when(valid)
         def _():
-            s = lambda f: binned_ref[0, k, f]
+            s = lambda f: load(k, f)
             x0, x1, x2 = s(pipe.F_X), s(pipe.F_X + 1), s(pipe.F_X + 2)
             y0, y1, y2 = s(pipe.F_Y), s(pipe.F_Y + 1), s(pipe.F_Y + 2)
 
@@ -78,9 +84,9 @@ def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
             z = l0 * s(pipe.F_ZW) + l1 * s(pipe.F_ZW + 1) + l2 * s(pipe.F_ZW + 2)
             iw = l0 * s(pipe.F_IW) + l1 * s(pipe.F_IW + 1) + l2 * s(pipe.F_IW + 2)
 
-            depth = depth_ref[:]
+            depth = depth_ref[...].reshape(th, tw)
             mask = cov & (z < depth) & (z >= 0.0)
-            depth_ref[:] = jnp.where(mask, z, depth)
+            depth_ref[...] = jnp.where(mask, z, depth).reshape(depth_ref.shape)
 
             inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
 
@@ -89,7 +95,7 @@ def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
                     l0 * s(base) + l1 * s(base + 1) + l2 * s(base + 2)
                 ) * inv_iw
 
-            attrs = attr_ref[:]
+            attrs = attr_ref[...].reshape(N_ATTR, th, tw)
             new = jnp.stack(
                 [
                     interp(pipe.F_COL + 0),      # r (channel-major premult:
@@ -100,10 +106,11 @@ def _raster_tile_kernel(count_ref, binned_ref, depth_ref, attr_ref, *, params):
                     jnp.broadcast_to(s(pipe.F_MAT), (th, tw)),
                 ]
             )
-            attr_ref[:] = jnp.where(mask[None, :, :], new, attrs)
+            attr_ref[...] = jnp.where(mask[None, :, :], new, attrs).reshape(
+                attr_ref.shape
+            )
 
     # dynamic bound: sparsely occupied tiles cost only their real triangles
-    n = count_ref[ty * pl.num_programs(1) + tx]
     jax.lax.fori_loop(0, n, body, None)
 
 
@@ -217,5 +224,71 @@ def rasterize_reference(setup, params) -> dict:
         "color": jnp.moveaxis(attrs[0:3], 0, -1),
         "uv": jnp.moveaxis(attrs[3:5], 0, -1),
         "mat": attrs[5].astype(jnp.int32),
+        "covered": depth < 1.0,
+    }
+
+
+def rasterize_tiles_batched(binned, counts, params) -> dict:
+    """Batched-env variant: binned [E, n_tiles, K, F], counts [E, n_tiles]
+    -> G-buffer with leading env dim.  Grid = (envs, tiles_y, tiles_x); no
+    DMA needed at RL sizes (K is small), blocks stream like the single-env
+    path.  Used by the vectorized RL env (128x128 RGB-D observations)."""
+    e = binned.shape[0]
+    nty, ntx = params.tiles_y, params.tiles_x
+    th, tw = params.tile_h, params.tile_w
+    h_pad, w_pad = nty * th, ntx * tw
+
+    def kernel(count_ref, binned_ref, depth_ref, attr_ref):
+        env = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+        _raster_tile_body(
+            count_ref[env, ty * ntx + tx],
+            lambda k, f: binned_ref[0, 0, k, f],
+            depth_ref, attr_ref, ty, tx, params,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, params.max_tris_per_tile, pipe.N_FIELDS),
+                lambda env, ty, tx, c: (env, ty * ntx + tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, tw), lambda env, ty, tx, c: (env, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N_ATTR, th, tw),
+                lambda env, ty, tx, c: (env, 0, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    depth, attrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((e, N_ATTR, h_pad, w_pad), jnp.float32),
+        ],
+        interpret=params.interpret,
+    )(
+        jnp.minimum(counts, params.max_tris_per_tile).astype(jnp.int32),
+        binned,
+    )
+    h, w = params.height, params.width
+    depth = depth[:, :h, :w]
+    attrs = attrs[:, :, :h, :w]
+    return {
+        "depth": depth,
+        "color": jnp.moveaxis(attrs[:, 0:3], 1, -1),
+        "uv": jnp.moveaxis(attrs[:, 3:5], 1, -1),
+        "mat": attrs[:, 5].astype(jnp.int32),
         "covered": depth < 1.0,
     }
