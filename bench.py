@@ -9,9 +9,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: keeps repeat benchmark runs (and the first
+# frame after any restart) from paying the full XLA/Mosaic compile again
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from scx import physics as ph

@@ -35,8 +35,8 @@ N_ATTR = 6
 CLUSTER = 64  # triangles per cluster
 
 
-def cluster_bounds(aabb, valid, max_tris: int):
-    """Per-cluster screen AABB + validity from the triangle buffer."""
+def cluster_bounds(aabb, valid, max_tris: int, setup=None):
+    """Per-cluster screen AABB + validity (+ min depth when setup given)."""
     c = max_tris // CLUSTER
     ab = aabb.reshape(c, CLUSTER, 4)
     v = valid.reshape(c, CLUSTER)
@@ -46,7 +46,12 @@ def cluster_bounds(aabb, valid, max_tris: int):
     xmax = jnp.max(jnp.where(v, ab[:, :, 2], -big), axis=1)
     ymax = jnp.max(jnp.where(v, ab[:, :, 3], -big), axis=1)
     cl_valid = jnp.any(v, axis=1)
-    return jnp.stack([xmin, ymin, xmax, ymax], -1), cl_valid
+    bounds = jnp.stack([xmin, ymin, xmax, ymax], -1)
+    if setup is None:
+        return bounds, cl_valid
+    zw = setup[:, pipe.F_ZW : pipe.F_ZW + 3].reshape(c, CLUSTER, 3)
+    zmin = jnp.min(jnp.where(v[..., None], zw, big), axis=(1, 2))
+    return bounds, cl_valid, zmin
 
 
 def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int):
@@ -82,6 +87,7 @@ def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int):
 def _kernel(
     cl_ids_ref,      # scalar prefetch [n_tiles, KC]
     cl_counts_ref,   # scalar prefetch [n_tiles]
+    cl_zmin_ref,     # scalar prefetch [C] f32: per-cluster min depth
     setup_hbm,       # [C, 64, F] in ANY/HBM
     depth_ref,       # out tile block [th, tw]
     attr_ref,        # out tile block [N_ATTR, th, tw]
@@ -125,11 +131,23 @@ def _kernel(
     def run_scoped_body(winner_ref):
         winner_ref[:] = jnp.full((th, tw), -1, jnp.int32)
 
-        # ---- pass A: depth + winner code ----
+        # ---- pass A: depth + winner code, with hierarchical-z skip:
+        # clusters arrive front-to-back (draw sort), so once this tile is
+        # fully covered nearer than a cluster's min depth the whole cluster
+        # (and typically the rest of the list) contributes nothing ----
         def pass_a(kc, _):
             @pl.when(kc < cnt)
             def _():
                 dma(kc).wait()
+                tile_zmax = jnp.max(depth_ref[:])
+                cid = cl_ids_ref[tile, kc]
+
+                @pl.when(cl_zmin_ref[cid] < tile_zmax)
+                def _():
+                    _pass_a_cluster(kc)
+
+        def _pass_a_cluster(kc):
+            if True:
 
                 def tri(j, __):
                     s = lambda f: buf[kc, j, f]
@@ -163,7 +181,10 @@ def _kernel(
 
         # ---- pass B: attributes for winning triangles only ----
         def pass_b(kc, _):
-            @pl.when(kc < cnt)
+            w = winner_ref[:]
+            cluster_hit = jnp.any((w >= kc * CLUSTER) & (w < (kc + 1) * CLUSTER))
+
+            @pl.when((kc < cnt) & cluster_hit)
             def _():
                 def tri(j, __):
                     code = kc * CLUSTER + j
@@ -214,8 +235,13 @@ def _kernel(
     pl.run_scoped(run_scoped_body, pltpu.VMEM((th, tw), jnp.int32))
 
 
-def rasterize_clusters(setup, cl_ids, cl_counts, params, max_clusters_per_tile: int):
-    """setup [T, F] + per-tile cluster lists -> G-buffer dict."""
+def rasterize_clusters(
+    setup, cl_ids, cl_counts, params, max_clusters_per_tile: int, cl_zmin=None
+):
+    """setup [T, F] + per-tile cluster lists -> G-buffer dict.
+
+    cl_zmin [C]: per-cluster min depth for the hierarchical-z skip (defaults
+    to zeros = no skipping)."""
     nty, ntx = params.tiles_y, params.tiles_x
     th, tw = params.tile_h, params.tile_w
     h_pad, w_pad = nty * th, ntx * tw
@@ -228,8 +254,10 @@ def rasterize_clusters(setup, cl_ids, cl_counts, params, max_clusters_per_tile: 
     setup_pad = jnp.pad(setup, ((0, 0), (0, 128 - pipe.N_FIELDS)))
     setup_blocks = setup_pad.reshape(c, CLUSTER, 128)
 
+    if cl_zmin is None:
+        cl_zmin = jnp.zeros((c,), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -255,7 +283,7 @@ def rasterize_clusters(setup, cl_ids, cl_counts, params, max_clusters_per_tile: 
             jax.ShapeDtypeStruct((N_ATTR, h_pad, w_pad), jnp.float32),
         ],
         interpret=params.interpret,
-    )(cl_ids, cl_counts.astype(jnp.int32), setup_blocks)
+    )(cl_ids, cl_counts.astype(jnp.int32), cl_zmin.astype(jnp.float32), setup_blocks)
 
     h, w = params.height, params.width
     depth = depth[:h, :w]

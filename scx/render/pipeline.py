@@ -69,6 +69,8 @@ class RasterParams:
     # cluster path: 64-tri meshlet binning + DMA kernel (the fast path)
     use_clusters: bool = struct.field(pytree_node=False, default=True)
     max_clusters_per_tile: int = struct.field(pytree_node=False, default=64)
+    # front-to-back draw ordering feeds the kernel's hierarchical-z skip
+    sort_draws: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def tiles_x(self) -> int:
@@ -85,6 +87,26 @@ class RasterParams:
     @property
     def max_emissions(self) -> int:
         return self.emission_factor * self.max_tris
+
+
+def sort_draws_front_to_back(draws: DrawList, view_proj) -> DrawList:
+    """Order draws near-to-far (clip w of the model origin) so clusters are
+    depth-coherent and the raster kernel's hierarchical-z skip bites.
+
+    The reference sorts draws too — by pipeline/material/mesh for bind
+    coherence (sc_vk.cpp:1843-1864); here depth order is what pays.
+    """
+    origin = draws.model[:, 0:3, 3]
+    w = jnp.einsum("j,tj->t", view_proj[3, 0:3], origin, precision=m3.PRECISION)
+    w = w + view_proj[3, 3]
+    key = jnp.where(draws.valid, w, jnp.inf)
+    order = jnp.argsort(key)
+    return DrawList(
+        mesh_id=draws.mesh_id[order],
+        material_id=draws.material_id[order],
+        model=draws.model[order],
+        valid=draws.valid[order],
+    )
 
 
 def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
@@ -311,14 +333,19 @@ def render_frame(
     from scx.ops import raster as raster_ops
     from scx.ops import raster_clusters as rc
 
+    if params.use_clusters and params.sort_draws:
+        draws = sort_draws_front_to_back(draws, view_proj)
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
     if params.use_clusters:
-        cl_aabb, cl_valid = rc.cluster_bounds(aabb, valid, params.max_tris)
+        cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
+            aabb, valid, params.max_tris, setup
+        )
         cl_ids, cl_counts = rc.bin_clusters(
             cl_aabb, cl_valid, params, params.max_clusters_per_tile
         )
         gbuffer = rc.rasterize_clusters(
-            setup, cl_ids, cl_counts, params, params.max_clusters_per_tile
+            setup, cl_ids, cl_counts, params, params.max_clusters_per_tile,
+            cl_zmin=cl_zmin,
         )
         occupancy = cl_counts
         overflow_cap = params.max_clusters_per_tile
