@@ -54,8 +54,13 @@ def cluster_bounds(aabb, valid, max_tris: int, setup=None):
     return bounds, cl_valid, zmin
 
 
-def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int):
-    """Dense overlap + top_k -> per-tile cluster id lists (ascending order)."""
+def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int,
+                 cl_zmin=None):
+    """Dense overlap + top_k -> per-tile cluster id lists.
+
+    With cl_zmin given, each tile's list is ordered near-to-far (a tiny
+    per-row sort) so the kernel's hierarchical-z skip converges after the
+    first occluders — far cheaper than globally depth-sorting draws."""
     ntx, nty = params.tiles_x, params.tiles_y
     n_tiles = params.n_tiles
     c = cl_aabb.shape[0]
@@ -81,7 +86,16 @@ def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int):
     if k < max_clusters_per_tile:
         pad = jnp.zeros((n_tiles, max_clusters_per_tile - k), jnp.int32)
         ids = jnp.concatenate([ids, pad], axis=1)
-    return ids.astype(jnp.int32), jnp.minimum(counts, max_clusters_per_tile)
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((n_tiles, max_clusters_per_tile - k), vals.dtype)], axis=1
+        )
+    counts = jnp.minimum(counts, max_clusters_per_tile)
+    if cl_zmin is not None:
+        slot = jnp.arange(max_clusters_per_tile, dtype=jnp.int32)[None, :]
+        key = jnp.where(slot < counts[:, None], cl_zmin[ids], jnp.inf)
+        order = jnp.argsort(key, axis=1)
+        ids = jnp.take_along_axis(ids, order, axis=1)
+    return ids.astype(jnp.int32), counts
 
 
 def _kernel(

@@ -333,15 +333,15 @@ def render_frame(
     from scx.ops import raster as raster_ops
     from scx.ops import raster_clusters as rc
 
-    if params.use_clusters and params.sort_draws:
-        draws = sort_draws_front_to_back(draws, view_proj)
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
     if params.use_clusters:
         cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
             aabb, valid, params.max_tris, setup
         )
+        zsort = cl_zmin if params.sort_draws else None
         cl_ids, cl_counts = rc.bin_clusters(
-            cl_aabb, cl_valid, params, params.max_clusters_per_tile
+            cl_aabb, cl_valid, params, params.max_clusters_per_tile,
+            cl_zmin=zsort,
         )
         gbuffer = rc.rasterize_clusters(
             setup, cl_ids, cl_counts, params, params.max_clusters_per_tile,

@@ -153,8 +153,15 @@ def traffic_ai_update(
     lane_id = jnp.where(move, adv_lane, lane_id)
     lane_s = jnp.where(move, adv_s, lane_s)
 
+    # kinematic (tier B) bodies carry their motion so contacts push other
+    # bodies like the reference's kinematic btRigidBody motion states do
+    is_kin = is_bc & (tr.mode == TRAFFIC_KINEMATIC)
+    kin_vel = adv_dir * sm_speed[:, None]
+    body_vel = jnp.where(is_kin[:, None], kin_vel, state.body.vel)
+
     return state.replace(
         transform=state.transform.replace(pos=new_pos, rot=new_rot),
+        body=state.body.replace(vel=body_vel),
         vehicle=state.vehicle.replace(input=veh_input),
         traffic=tr.replace(
             lane_id=lane_id,

@@ -20,15 +20,19 @@ def world_matrices(state: EntityState):
     """Per-entity world matrix from TRS (flat hierarchy fast path; parented
     transforms resolved by one gather pass per level)."""
     t = state.transform
-    mats = m3.mat4_trs_quat(t.pos, t.rot, t.scale)
-    # one parent level (wheels under chassis etc.); roots have parent == -1.
-    # Deeper chains would need K gather passes — the reference's city content
-    # is depth <= 1 (sc_ecs.cpp:118-211 walks arbitrary depth; we fix K=1).
-    has_parent = t.parent >= 0
-    parent_idx = jnp.maximum(t.parent, 0)
-    mats = jnp.where(
-        has_parent[:, None, None], m3.mat4_mul(mats[parent_idx], mats), mats
-    )
+    local = m3.mat4_trs_quat(t.pos, t.rot, t.scale)
+    # hierarchy resolution by pointer jumping: K gather passes support
+    # chains of depth 2^K (the reference walks arbitrary depth with dirty
+    # flags, sc_ecs.cpp:118-211; city content is shallow, K=3 covers 8)
+    mats = local
+    anc = t.parent  # 2^k-th ancestor (or -1)
+    for _ in range(3):
+        has = anc >= 0
+        safe = jnp.maximum(anc, 0)
+        mats = jnp.where(
+            has[:, None, None], m3.mat4_mul(mats[safe], mats), mats
+        )
+        anc = jnp.where(has, anc[safe], -1)  # ancestor doubling
     return mats
 
 
