@@ -208,8 +208,42 @@ class Sandbox:
         self.cam_pos = jnp.asarray([0.0, 5.0, -12.0])
         self.frame_no = 0
         self._pending_lod_despawn = None
+        self.scheduler = self._build_scheduler()
 
     # ------------------------------------------------------------------
+    def _build_scheduler(self):
+        """Register the frame's systems in the reference's order and
+        dependency structure (src/sandbox/src/main.cpp:241-265) — the
+        composition is explicit and topologically checked even though the
+        FixedUpdate block executes as one fused jit."""
+        from scx.state.scheduler import Phase, Scheduler
+
+        s = Scheduler()
+        s.add_system("VehicleInput", Phase.INPUT, self._sys_player_input)
+        s.add_system("VehicleStreamingPin", Phase.SIMULATION, self._sys_pin_player)
+        s.add_system(
+            "WorldStreaming", Phase.SIMULATION, self._sys_streaming,
+            deps=("VehicleStreamingPin",),
+        )
+        s.add_system(
+            "TrafficSpawner", Phase.SIMULATION, self._sys_traffic_spawner,
+            deps=("WorldStreaming",),
+        )
+        s.add_system(
+            "AssetResidency", Phase.SIMULATION, self._sys_assets,
+            deps=("WorldStreaming",),
+        )
+        # TrafficLOD/TrafficAI/VehiclePreStep/PhysicsSync/TrafficPhysicsSync/
+        # VehiclePostStep fuse into the jitted device tick (make_sim_tick)
+        s.add_system("DeviceSimTick", Phase.FIXED_UPDATE, self._sys_device_tick)
+        s.add_system("VehicleCamera", Phase.RENDER_PREP, self._sys_camera)
+        s.add_system(
+            "CullingAndRender", Phase.RENDER_PREP, self._sys_render,
+            deps=("VehicleCamera",),
+        )
+        s.add_system("DebugTelemetry", Phase.RENDER, self._sys_telemetry)
+        return s.finalize()
+
     def _render_impl(self, state, cam_pos, cam_target, materials, textures):
         vp = camera_view_proj(
             cam_pos,
@@ -226,70 +260,85 @@ class Sandbox:
         stats["visible"] = jnp.sum(visible.astype(jnp.int32))
         return rgb, stats
 
-    def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
-        """One engine frame; returns (rgb, FrameTelemetry)."""
-        self.frame_no += 1
-        tel = self.telemetry
-        tel.begin_frame(self.frame_no)
+    # --- systems (reference names; run by the scheduler) ----------------
+    def _sys_player_input(self, ctx):
+        self._frame_input = jnp.asarray(ctx["player_input"], jnp.float32)
 
+    def _sys_pin_player(self, ctx):
+        """Pin the player's sector (VehicleStreamingPinSystem,
+        sc_vehicle.cpp:503-525)."""
+        self.partition.clear_pins()
+        ppos = np.asarray(self.state.transform.pos[self.player_slot])
+        self.partition.pin_sector(self.partition.world_to_sector(ppos))
+
+    def _sys_streaming(self, ctx):
         t0 = time.perf_counter()
-        # host phase: apply last frame's LOD despawns, stream, spawn traffic
         if self._pending_lod_despawn is not None:
-            mask = self._pending_lod_despawn
-            slots = np.where(mask)[0].tolist()
+            slots = np.where(self._pending_lod_despawn)[0].tolist()
             if slots:
+                sectors = np.asarray(self.state.sector[slots])
                 self.partition._despawn_queue.extend(
-                    (s, tuple(np.asarray(self.state.sector[s]).tolist())) for s in slots
+                    (s, tuple(sec.tolist())) for s, sec in zip(slots, sectors)
                 )
             self._pending_lod_despawn = None
-
         cam_np = np.asarray(self.cam_pos)
         self.state = self.partition.update(
             self.state, cam_np, np.asarray([0.0, 0.0, 1.0])
         )
-        if self.spawner is not None:
-            snap = snapshot_agents(self.state)
-            player_np = snap["pos"][self.player_slot]
-            self.state = self.spawner.update(
-                self.state, self.partition, self.lanes, player_np, snap
-            )
-        self.assets.begin_frame()
+        self.telemetry.current.stream_ms += (time.perf_counter() - t0) * 1e3
+
+    def _sys_traffic_spawner(self, ctx):
+        if self.spawner is None:
+            return
+        t0 = time.perf_counter()
+        snap = snapshot_agents(self.state)
+        player_np = snap["pos"][self.player_slot]
+        self.state = self.spawner.update(
+            self.state, self.partition, self.lanes, player_np, snap
+        )
         if self.lanes.dirty or self._lane_arrays is None:
             self._lane_arrays = self.lanes.to_arrays()
-        tel.current.stream_ms = (time.perf_counter() - t0) * 1e3
+        self.telemetry.current.stream_ms += (time.perf_counter() - t0) * 1e3
 
-        # device sim tick
+    def _sys_assets(self, ctx):
+        self.assets.begin_frame()
+
+    def _sys_device_tick(self, ctx):
         t0 = time.perf_counter()
-        n_steps = self.clock.advance(frame_dt)
-        dt_arg = 0.0 if self.clock.paused else self.cfg.physics.fixed_dt
-        del dt_arg
+        if self._lane_arrays is None:
+            self._lane_arrays = self.lanes.to_arrays()
         self.state, despawn, counts = self._tick(
             self.state,
             self._lane_arrays,
             self.player_slot,
-            jnp.asarray(player_input, jnp.float32),
-            jnp.int32(n_steps),
+            self._frame_input,
+            jnp.int32(ctx["n_steps"]),
         )
         self._pending_lod_despawn = np.asarray(despawn)
-        tel.current.sim_ms = (time.perf_counter() - t0) * 1e3
+        self._tier_counts = counts
+        self.telemetry.current.sim_ms = (time.perf_counter() - t0) * 1e3
 
-        # camera + render
-        t0 = time.perf_counter()
+    def _sys_camera(self, ctx):
         cam_pos, cam_target = chase_camera(
-            self.state, self.player_slot, self.cam_pos, frame_dt, self.cfg
+            self.state, self.player_slot, self.cam_pos, ctx["frame_dt"], self.cfg
         )
         self.cam_pos = cam_pos
-        rgb, rstats = self._render(
+        self._cam_target = cam_target
+
+    def _sys_render(self, ctx):
+        t0 = time.perf_counter()
+        self._frame_rgb, self._render_stats = self._render(
             self.state,
-            cam_pos,
-            cam_target,
+            self.cam_pos,
+            self._cam_target,
             self.assets.device_materials(),
             self.assets.device_pool(),
         )
-        tel.current.render_ms = (time.perf_counter() - t0) * 1e3
+        self.telemetry.current.render_ms = (time.perf_counter() - t0) * 1e3
 
-        # telemetry
-        t = tel.current
+    def _sys_telemetry(self, ctx):
+        t = self.telemetry.current
+        counts = self._tier_counts
         t.entities = self.partition.stats.entities
         t.active_sectors = self.partition.stats.active_sectors
         t.queued_sectors = self.partition.stats.queued
@@ -302,13 +351,39 @@ class Sandbox:
         t.traffic_onrails = int(counts["onrails"])
         if self.spawner is not None:
             t.traffic_spawns = self.spawner.spawns_this_frame
-        t.visible = int(rstats["visible"])
-        t.draws = int(rstats["tris_in"])
+        t.visible = int(self._render_stats["visible"])
+        t.draws = int(self._render_stats["tris_in"])
         t.resident_textures = self.assets.stats.resident_textures
         t.resident_bytes = self.assets.stats.resident_bytes
         t.texture_evictions = self.assets.stats.evictions
-        tel.end_frame()
-        return rgb, t
+
+    def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
+        """One engine frame through the scheduler; returns (rgb, telemetry)."""
+        from scx.state.scheduler import Phase
+
+        self.frame_no += 1
+        self.telemetry.begin_frame(self.frame_no)
+        n_steps = self.clock.advance(frame_dt)
+        ctx = {
+            "player_input": player_input,
+            "frame_dt": frame_dt,
+            "n_steps": n_steps,
+        }
+        for phase in (
+            Phase.INPUT,
+            Phase.SIMULATION,
+            Phase.FIXED_UPDATE,
+            Phase.RENDER_PREP,
+            Phase.RENDER,
+        ):
+            for sysd in self.scheduler.phase_systems(phase):
+                t0 = time.perf_counter()
+                sysd.fn(ctx)
+                self.scheduler.stats_ms[sysd.name] = (
+                    time.perf_counter() - t0
+                ) * 1e3
+        t = self.telemetry.end_frame()
+        return self._frame_rgb, t
 
     def shutdown(self):
         self.partition.shutdown()
