@@ -89,17 +89,36 @@ class RasterParams:
         return self.emission_factor * self.max_tris
 
 
-def sort_draws_front_to_back(draws: DrawList, view_proj) -> DrawList:
-    """Order draws near-to-far (clip w of the model origin) so clusters are
-    depth-coherent and the raster kernel's hierarchical-z skip bites.
+def _interleave_bits10(x):
+    """Spread the low 10 bits of x so there is a 0 between each (Morton)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
 
-    The reference sorts draws too — by pipeline/material/mesh for bind
-    coherence (sc_vk.cpp:1843-1864); here depth order is what pays.
+
+def sort_draws_spatial(draws: DrawList, view_proj, params) -> DrawList:
+    """Order draws by screen-space Morton code of their projected origin.
+
+    Cluster binning groups 64 CONSECUTIVE triangles; its efficiency rests on
+    consecutive draws landing near each other on screen.  An unsorted
+    instance list (streaming slot order) breaks that — one cluster then
+    spans the frame and overlaps every tile.  Morton order restores spatial
+    locality in one cheap 10k-element sort per frame.  (The reference sorts
+    draws for bind coherence, sc_vk.cpp:1843-1864; here locality pays.)
     """
-    origin = draws.model[:, 0:3, 3]
-    w = jnp.einsum("j,tj->t", view_proj[3, 0:3], origin, precision=m3.PRECISION)
-    w = w + view_proj[3, 3]
-    key = jnp.where(draws.valid, w, jnp.inf)
+    origin_h = jnp.concatenate(
+        [draws.model[:, 0:3, 3], jnp.ones((draws.model.shape[0], 1))], axis=1
+    )
+    clip = jnp.einsum("ij,tj->ti", view_proj, origin_h, precision=m3.PRECISION)
+    w = jnp.maximum(clip[:, 3], 1e-3)
+    sx = jnp.clip((clip[:, 0] / w * 0.5 + 0.5) * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+    sy = jnp.clip((clip[:, 1] / w * 0.5 + 0.5) * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+    behind = clip[:, 3] <= 1e-3
+    morton = _interleave_bits10(sx) | (_interleave_bits10(sy) << 1)
+    key = jnp.where(draws.valid & ~behind, morton, jnp.int32(0x7FFFFFFF))
     order = jnp.argsort(key)
     return DrawList(
         mesh_id=draws.mesh_id[order],
@@ -333,6 +352,8 @@ def render_frame(
     from scx.ops import raster as raster_ops
     from scx.ops import raster_clusters as rc
 
+    if params.use_clusters and params.sort_draws:
+        draws = sort_draws_spatial(draws, view_proj, params)
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
     if params.use_clusters:
         cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
