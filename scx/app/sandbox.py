@@ -137,17 +137,35 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
 
 
 def chase_camera(state, player_idx, cam_state, dt, cfg: EngineConfig):
-    """Spring-damper chase cam with speed FOV (VehicleCameraSystem,
-    sc_vehicle.cpp:527-649) — pure, device-side."""
+    """Spring-damper chase cam with occlusion pull-in and speed FOV
+    (VehicleCameraSystem, sc_vehicle.cpp:527-649) — pure, device-side."""
+    from scx.physics.world import bodies_from_state
+    from scx.physics.queries import sphere_cast
+
     pos = state.transform.pos[player_idx]
     rot = state.transform.rot[player_idx]
     fwd = m3.quat_rotate(rot, jnp.asarray([0.0, 0.0, 1.0]))
     fwd = m3.safe_normalize(fwd * jnp.asarray([1.0, 0.0, 1.0]), jnp.asarray([0.0, 0.0, 1.0]))
-    desired = pos - fwd * 9.0 + jnp.asarray([0.0, 3.5, 0.0])
-    stiff = 6.0
-    cam_pos = cam_state + (desired - cam_state) * (1.0 - jnp.exp(-stiff * dt))
     target = pos + jnp.asarray([0.0, 1.0, 0.0])
-    return cam_pos, target
+
+    desired = pos - fwd * 9.0 + jnp.asarray([0.0, 3.5, 0.0])
+    # occlusion: swept sphere from the target toward the desired camera spot
+    # pulls the camera in front of world geometry (sc_vehicle.cpp:595-625)
+    bodies = bodies_from_state(state)
+    to_cam = desired - target
+    dist = m3.norm(to_cam)
+    hit = sphere_cast(
+        bodies, target, m3.safe_normalize(to_cam, jnp.asarray([0.0, 0.0, -1.0])),
+        dist, 0.3, exclude=player_idx,
+    )
+    pulled = jnp.where(hit.hit, target + m3.safe_normalize(to_cam) * hit.t * 0.95, desired)
+
+    stiff = 6.0
+    cam_pos = cam_state + (pulled - cam_state) * (1.0 - jnp.exp(-stiff * dt))
+    # dynamic FOV widens with speed (sc_vehicle.cpp:630-640)
+    speed = m3.norm(state.body.vel[player_idx])
+    fov = cfg.render.fov_y_deg + jnp.clip(speed / 45.0, 0.0, 1.0) * 12.0
+    return cam_pos, target, fov
 
 
 class Sandbox:
@@ -244,13 +262,14 @@ class Sandbox:
         s.add_system("DebugTelemetry", Phase.RENDER, self._sys_telemetry)
         return s.finalize()
 
-    def _render_impl(self, state, cam_pos, cam_target, materials, textures):
+    def _render_impl(self, state, cam_pos, cam_target, fov_deg, materials, textures):
         vp = camera_view_proj(
             cam_pos,
             cam_target,
             jnp.asarray([0.0, 1.0, 0.0]),
             aspect=self.raster.width / self.raster.height,
             params=CameraParams(fov_y_deg=self.cfg.render.fov_y_deg),
+            fov_y_deg=fov_deg,
         )
         visible, mats = cull_entities(state, vp)
         draws = emit_draws(state, visible, mats, self.cfg.streaming.max_draws)
@@ -319,11 +338,12 @@ class Sandbox:
         self.telemetry.current.sim_ms = (time.perf_counter() - t0) * 1e3
 
     def _sys_camera(self, ctx):
-        cam_pos, cam_target = chase_camera(
+        cam_pos, cam_target, fov = chase_camera(
             self.state, self.player_slot, self.cam_pos, ctx["frame_dt"], self.cfg
         )
         self.cam_pos = cam_pos
         self._cam_target = cam_target
+        self._cam_fov = fov
 
     def _sys_render(self, ctx):
         t0 = time.perf_counter()
@@ -331,6 +351,7 @@ class Sandbox:
             self.state,
             self.cam_pos,
             self._cam_target,
+            self._cam_fov,
             self.assets.device_materials(),
             self.assets.device_pool(),
         )

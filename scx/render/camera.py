@@ -20,10 +20,14 @@ class CameraParams:
     flip_y: bool = struct.field(pytree_node=False, default=True)
 
 
-def camera_view_proj(eye, target, up, aspect, params: CameraParams = CameraParams()):
+def camera_view_proj(
+    eye, target, up, aspect, params: CameraParams = CameraParams(), fov_y_deg=None
+):
+    """fov_y_deg may be a traced scalar (dynamic FOV); defaults to params."""
     view = m3.mat4_look_at_rh(eye, target, up)
+    fov = params.fov_y_deg if fov_y_deg is None else fov_y_deg
     proj = m3.mat4_perspective_rh_zo(
-        jnp.radians(params.fov_y_deg), aspect, params.near_z, params.far_z,
+        jnp.radians(fov), aspect, params.near_z, params.far_z,
         flip_y=params.flip_y,
     )
     return m3.mat4_mul(proj, view)
