@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from scx.render import pipeline as pipe
 
 N_ATTR = 6
-CLUSTER = 64  # triangles per cluster
+CLUSTER = 32  # triangles per cluster (tight AABBs beat DMA granularity)
 
 
 def cluster_bounds(aabb, valid, max_tris: int, setup=None):
@@ -160,36 +160,66 @@ def _kernel(
                 def _():
                     _pass_a_cluster(kc)
 
+        # pass A processes CH triangles per iteration, fully vectorized over
+        # a (CH, th, tw) lattice, reduced by min-depth within the chunk —
+        # depth-buffering is a min-reduction so this is exact.  Amortizes
+        # the scalar loop/branch overhead that dominates per-tri loops.
+        CH = 8
+
         def _pass_a_cluster(kc):
-            if True:
+            tile_x0 = tx.astype(jnp.float32) * tw
+            tile_y0 = ty.astype(jnp.float32) * th
+            pyc = py[None]
+            pxc = px[None]
 
-                def tri(j, __):
-                    s = lambda f: buf[kc, j, f]
+            def chunk(c, _):
+                blk = buf[kc, pl.ds(c * CH, CH), :]          # (CH, 128)
+                g = lambda f: blk[:, f : f + 1][:, :, None]  # (CH,1,1)
+                x0, x1, x2 = g(pipe.F_X), g(pipe.F_X + 1), g(pipe.F_X + 2)
+                y0, y1, y2 = g(pipe.F_Y), g(pipe.F_Y + 1), g(pipe.F_Y + 2)
+                ok = (
+                    (g(pipe.F_VALID) > 0.0)
+                    & (jnp.maximum(x0, jnp.maximum(x1, x2)) >= tile_x0)
+                    & (jnp.minimum(x0, jnp.minimum(x1, x2)) < tile_x0 + tw)
+                    & (jnp.maximum(y0, jnp.maximum(y1, y2)) >= tile_y0)
+                    & (jnp.minimum(y0, jnp.minimum(y1, y2)) < tile_y0 + th)
+                )
+                any_hit = jnp.any(ok)
 
-                    @pl.when(s(pipe.F_VALID) > 0.0)
-                    def _():
-                        x0, x1, x2 = s(pipe.F_X), s(pipe.F_X + 1), s(pipe.F_X + 2)
-                        y0, y1, y2 = s(pipe.F_Y), s(pipe.F_Y + 1), s(pipe.F_Y + 2)
-                        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-                        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-                        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-                        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-                        sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
-                        cov = (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
-                        inv_area = 1.0 / area2
-                        z = (
-                            e0 * s(pipe.F_ZW)
-                            + e1 * s(pipe.F_ZW + 1)
-                            + e2 * s(pipe.F_ZW + 2)
-                        ) * inv_area
-                        depth = depth_ref[:]
-                        mask = cov & (z < depth) & (z >= 0.0)
-                        depth_ref[:] = jnp.where(mask, z, depth)
-                        winner_ref[:] = jnp.where(
-                            mask, kc * CLUSTER + j, winner_ref[:]
-                        )
+                @pl.when(any_hit)
+                def _():
+                    e0 = (x2 - x1) * (pyc - y1) - (y2 - y1) * (pxc - x1)
+                    e1 = (x0 - x2) * (pyc - y2) - (y0 - y2) * (pxc - x2)
+                    e2 = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
+                    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+                    sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
+                    cov = (
+                        (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
+                    )
+                    inv_area = 1.0 / jnp.where(area2 == 0.0, 1e-9, area2)
+                    z = (
+                        e0 * g(pipe.F_ZW)
+                        + e1 * g(pipe.F_ZW + 1)
+                        + e2 * g(pipe.F_ZW + 2)
+                    ) * inv_area
+                    zm = jnp.where(cov & ok & (z >= 0.0), z, 2.0)  # (CH,th,tw)
 
-                jax.lax.fori_loop(0, CLUSTER, tri, None)
+                    # fold: nearest tri of the chunk per pixel
+                    best_z = zm[0]
+                    best_j = jnp.zeros((th, tw), jnp.int32)
+                    for j in range(1, CH):
+                        better = zm[j] < best_z
+                        best_z = jnp.where(better, zm[j], best_z)
+                        best_j = jnp.where(better, j, best_j)
+
+                    depth = depth_ref[:]
+                    m = best_z < depth
+                    depth_ref[:] = jnp.where(m, best_z, depth)
+                    winner_ref[:] = jnp.where(
+                        m, kc * CLUSTER + c * CH + best_j, winner_ref[:]
+                    )
+
+            jax.lax.fori_loop(0, CLUSTER // CH, chunk, None)
 
         jax.lax.fori_loop(0, kc_max, pass_a, None)
 

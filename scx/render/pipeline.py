@@ -71,6 +71,9 @@ class RasterParams:
     max_clusters_per_tile: int = struct.field(pytree_node=False, default=64)
     # front-to-back draw ordering feeds the kernel's hierarchical-z skip
     sort_draws: bool = struct.field(pytree_node=False, default=True)
+    # reserved tail slots for near-plane clip outputs (quad second halves)
+    clip_extra: int = struct.field(pytree_node=False, default=2048)
+    near_z: float = struct.field(pytree_node=False, default=0.1)
 
     @property
     def tiles_x(self) -> int:
@@ -87,6 +90,11 @@ class RasterParams:
     @property
     def max_emissions(self) -> int:
         return self.emission_factor * self.max_tris
+
+    @property
+    def effective_clip_extra(self) -> int:
+        # never reserve more than a quarter of the buffer (tiny test configs)
+        return max(0, min(self.clip_extra, self.max_tris // 4))
 
 
 def _interleave_bits10(x):
@@ -150,6 +158,78 @@ def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
     return draw_idx, tri_pool, live
 
 
+def _near_clip(clip, attrs, live, extra_cap: int, eps: float):
+    """Vectorized near-plane (w > eps) polygon clipping.
+
+    clip [T,3,4], attrs [T,3,A].  Triangles fully in front pass through;
+    fully behind are dropped; crossing triangles are clipped: their slot is
+    replaced by the first clipped triangle and (for the quad case) a second
+    triangle is scattered into the last `extra_cap` slots of the buffer.
+    Attribute interpolation happens in clip space (linear there).  Winding
+    is preserved by keeping polygon order.  The reference gets this from the
+    GPU for free; a software rasterizer that merely culls loses any ground
+    plane the camera stands on.
+    """
+    t = clip.shape[0]
+    w = clip[..., 3]
+    inside = w > eps
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)
+
+    keep = live & (n_in == 3)
+    one_out = live & (n_in == 2)
+    two_out = live & (n_in == 1)
+
+    # canonical rotation: the "special" vertex first (the single outside
+    # vertex for one_out; the single inside vertex for two_out)
+    special = jnp.where(one_out, jnp.argmin(inside, axis=-1), jnp.argmax(inside, axis=-1))
+    perm = (special[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]) % 3
+    u = jnp.take_along_axis(clip, perm[..., None], axis=1)     # [T,3,4]
+    ua = jnp.take_along_axis(attrs, perm[..., None], axis=1)   # [T,3,A]
+
+    def isect(a, b, aa, ab):
+        wa = a[..., 3]
+        wb = b[..., 3]
+        tt = (eps - wa) / jnp.where(jnp.abs(wb - wa) < 1e-12, 1e-12, wb - wa)
+        tt = jnp.clip(tt, 0.0, 1.0)[..., None]
+        return a + (b - a) * tt, aa + (ab - aa) * tt
+
+    i01, a01 = isect(u[:, 0], u[:, 1], ua[:, 0], ua[:, 1])
+    i20, a20 = isect(u[:, 2], u[:, 0], ua[:, 2], ua[:, 0])
+
+    # one_out (u0 outside): poly = [i01, u1, u2, i20] -> tris
+    #   (i01, u1, u2) replaces the slot, (i01, u2, i20) goes to the extra
+    # two_out (u0 inside): tri = (u0, i01, i20) replaces the slot
+    tri1 = jnp.where(
+        one_out[:, None, None],
+        jnp.stack([i01, u[:, 1], u[:, 2]], axis=1),
+        jnp.where(
+            two_out[:, None, None],
+            jnp.stack([u[:, 0], i01, i20], axis=1),
+            clip,
+        ),
+    )
+    at1 = jnp.where(
+        one_out[:, None, None],
+        jnp.stack([a01, ua[:, 1], ua[:, 2]], axis=1),
+        jnp.where(
+            two_out[:, None, None],
+            jnp.stack([ua[:, 0], a01, a20], axis=1),
+            attrs,
+        ),
+    )
+    live1 = keep | one_out | two_out
+
+    # scatter the quad's second triangle into the extra region (last slots)
+    tri2 = jnp.stack([i01, u[:, 2], i20], axis=1)
+    at2 = jnp.stack([a01, ua[:, 2], a20], axis=1)
+    rank = jnp.cumsum(one_out.astype(jnp.int32)) - 1
+    dest = jnp.where(one_out & (rank < extra_cap), t - extra_cap + rank, t)
+    tri1 = tri1.at[dest].set(tri2, mode="drop")
+    at1 = at1.at[dest].set(at2, mode="drop")
+    live1 = live1.at[dest].set(one_out, mode="drop")
+    return tri1, at1, live1
+
+
 def setup_triangles(
     draws: DrawList,
     pool: MeshPool,
@@ -157,21 +237,54 @@ def setup_triangles(
     params: RasterParams,
 ):
     """Build the [T, N_FIELDS] screen-space setup buffer."""
-    draw_idx, tri_pool, live = expand_draws(draws, pool, params.max_tris)
+    # the tail of the triangle buffer is reserved for near-clip outputs
+    usable = params.max_tris - params.effective_clip_extra
+    draw_idx, tri_pool, live = expand_draws(draws, pool, usable)
 
-    vidx = pool.tris[tri_pool]                     # [T,3]
-    verts = pool.verts[vidx]                       # [T,3,8]
-    model = draws.model[draw_idx]                  # [T,4,4]
+    vidx = pool.tris[tri_pool]                     # [T',3]
+    verts = pool.verts[vidx]                       # [T',3,8]
+    model = draws.model[draw_idx]                  # [T',4,4]
     mvp = jnp.einsum(
         "ij,tjk->tik", view_proj, model, precision=m3.PRECISION
-    )                                              # [T,4,4]
+    )                                              # [T',4,4]
     pos_h = jnp.concatenate(
         [verts[..., 0:3], jnp.ones_like(verts[..., :1])], axis=-1
-    )                                              # [T,3,4]
+    )                                              # [T',3,4]
     clip = jnp.einsum("tij,tvj->tvi", mvp, pos_h, precision=m3.PRECISION)
 
+    # pad to full capacity and run near clipping
+    pad = params.effective_clip_extra
+    clip = jnp.concatenate([clip, jnp.zeros((pad, 3, 4), clip.dtype)])
+    cattrs = jnp.concatenate(
+        [verts[..., 3:8], jnp.zeros((pad, 3, 5), verts.dtype)]
+    )
+    live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
+    mat_ids = jnp.concatenate(
+        [
+            draws.material_id[draw_idx],
+            jnp.zeros((pad,), draws.material_id.dtype),
+        ]
+    )
+    # clip outputs inherit... second tris land in the extra region; their
+    # material comes from a parallel scatter of the source material
+    # clip at (just inside) the real near plane: intersection vertices then
+    # have w ~ near_z and bounded screen coordinates — clipping at a tiny
+    # epsilon instead produces +-100k-pixel triangles and f32 edge functions
+    # lose the depth test at the horizon
+    clip_eps = params.near_z * 0.9
+    w0 = clip[..., 3]
+    one_out_pre = live & (jnp.sum((w0 > clip_eps).astype(jnp.int32), -1) == 2)
+    rank = jnp.cumsum(one_out_pre.astype(jnp.int32)) - 1
+    t_full = params.max_tris
+    dest = jnp.where(
+        one_out_pre & (rank < pad), t_full - pad + rank, t_full
+    )
+    mat_ids = mat_ids.at[dest].set(mat_ids, mode="drop")
+
+    clip, cattrs, live = _near_clip(clip, cattrs, live, pad, clip_eps)
+
     w = clip[..., 3]
-    near_ok = jnp.all(w > 1e-4, axis=-1)
+    near_ok = jnp.all(w > clip_eps * 0.5, axis=-1)
     inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
     ndc = clip[..., 0:3] * inv_w[..., None]
     sx = (ndc[..., 0] * 0.5 + 0.5) * params.width
@@ -207,9 +320,9 @@ def setup_triangles(
 
     valid = live & near_ok & face_ok & on_screen & z_ok
 
-    color = verts[..., 3:6] * inv_w[..., None]     # [T,3,3]
-    uv = verts[..., 6:8] * inv_w[..., None]        # [T,3,2]
-    mat = draws.material_id[draw_idx].astype(jnp.float32)
+    color = cattrs[..., 0:3] * inv_w[..., None]    # [T,3,3]
+    uv = cattrs[..., 3:5] * inv_w[..., None]       # [T,3,2]
+    mat = mat_ids.astype(jnp.float32)
 
     t = params.max_tris
     # channel-major packing: field F_COL + 3*channel + vertex (the kernel

@@ -61,10 +61,11 @@ def test_cluster_bounds_and_binning():
     aabb[0] = [10, 5, 90, 12]
     valid[0] = True
     # cluster 1: tri at x in [200,250] -> column 1
-    aabb[64] = [200, 30, 250, 31]
-    valid[64] = True
+    aabb[rc.CLUSTER] = [200, 30, 250, 31]
+    valid[rc.CLUSTER] = True
     cl_aabb, cl_valid = rc.cluster_bounds(jnp.asarray(aabb), jnp.asarray(valid), t)
-    assert cl_valid.tolist() == [True, True]
+    assert cl_valid.tolist()[:2] == [True, True]
+    assert not any(cl_valid.tolist()[2:])
     ids, counts = rc.bin_clusters(cl_aabb, cl_valid, params, 4)
     counts = np.asarray(counts).reshape(params.tiles_y, params.tiles_x)
     # tile (0,0) sees cluster 0; tile (0,1) wait x=200 -> tile col 1; y=30 -> row 1
