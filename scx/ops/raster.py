@@ -60,49 +60,31 @@ def _raster_tile_body(n, load, depth_ref, attr_ref, ty, tx, params):
     )
 
     def body(k, _):
-        valid = load(k, pipe.F_VALID) > 0.0
+        s = lambda f: load(k, f)
 
-        @pl.when(valid)
+        def ev(base):  # plane evaluation: a*px + b*py + c
+            return s(base) * px + s(base + 1) * py + s(base + 2)
+
+        l0 = ev(pipe.F_L0)
+        l1 = ev(pipe.F_L1)
+        cov = (l0 >= 0.0) & (l1 >= 0.0) & (l0 + l1 <= 1.0)
+        z = ev(pipe.F_Z)
+
+        depth = depth_ref[...].reshape(th, tw)
+        mask = cov & (z < depth) & (z >= 0.0)
+
+        @pl.when(jnp.any(mask))
         def _():
-            s = lambda f: load(k, f)
-            x0, x1, x2 = s(pipe.F_X), s(pipe.F_X + 1), s(pipe.F_X + 2)
-            y0, y1, y2 = s(pipe.F_Y), s(pipe.F_Y + 1), s(pipe.F_Y + 2)
-
-            # edge functions (e_i opposite vertex i); sum = 2*area
-            e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-            e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-            e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-            area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-            sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
-            cov = (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
-
-            inv_area = 1.0 / area2  # guarded non-zero by setup cull
-            l0 = e0 * inv_area
-            l1 = e1 * inv_area
-            l2 = e2 * inv_area
-
-            z = l0 * s(pipe.F_ZW) + l1 * s(pipe.F_ZW + 1) + l2 * s(pipe.F_ZW + 2)
-            iw = l0 * s(pipe.F_IW) + l1 * s(pipe.F_IW + 1) + l2 * s(pipe.F_IW + 2)
-
-            depth = depth_ref[...].reshape(th, tw)
-            mask = cov & (z < depth) & (z >= 0.0)
             depth_ref[...] = jnp.where(mask, z, depth).reshape(depth_ref.shape)
-
-            inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
-
-            def interp(base):
-                return (
-                    l0 * s(base) + l1 * s(base + 1) + l2 * s(base + 2)
-                ) * inv_iw
-
+            inv_iw = 1.0 / jnp.maximum(ev(pipe.F_IW), 1e-12)
             attrs = attr_ref[...].reshape(N_ATTR, th, tw)
             new = jnp.stack(
                 [
-                    interp(pipe.F_COL + 0),      # r (channel-major premult:
-                    interp(pipe.F_COL + 3),      # g  field = F_COL + 3*ch + v)
-                    interp(pipe.F_COL + 6),      # b
-                    interp(pipe.F_UV + 0),       # u
-                    interp(pipe.F_UV + 3),       # v
+                    ev(pipe.F_COL + 0) * inv_iw,
+                    ev(pipe.F_COL + 3) * inv_iw,
+                    ev(pipe.F_COL + 6) * inv_iw,
+                    ev(pipe.F_UV + 0) * inv_iw,
+                    ev(pipe.F_UV + 3) * inv_iw,
                     jnp.broadcast_to(s(pipe.F_MAT), (th, tw)),
                 ]
             )
@@ -184,31 +166,24 @@ def rasterize_reference(setup, params) -> dict:
 
     def tri_step(carry, s):
         depth, attrs = carry
-        x0, x1, x2 = s[pipe.F_X], s[pipe.F_X + 1], s[pipe.F_X + 2]
-        y0, y1, y2 = s[pipe.F_Y], s[pipe.F_Y + 1], s[pipe.F_Y + 2]
-        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
-        cov = (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
-        inv_area = 1.0 / jnp.where(area2 == 0, 1e-9, area2)
-        l0, l1, l2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
-        z = l0 * s[pipe.F_ZW] + l1 * s[pipe.F_ZW + 1] + l2 * s[pipe.F_ZW + 2]
-        iw = l0 * s[pipe.F_IW] + l1 * s[pipe.F_IW + 1] + l2 * s[pipe.F_IW + 2]
-        mask = cov & (z < depth) & (z >= 0.0) & (s[pipe.F_VALID] > 0)
-        inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
 
-        def interp(base):
-            return (l0 * s[base] + l1 * s[base + 1] + l2 * s[base + 2]) * inv_iw
+        def ev(base):
+            return s[base] * px + s[base + 1] * py + s[base + 2]
+
+        l0 = ev(pipe.F_L0)
+        l1 = ev(pipe.F_L1)
+        cov = (l0 >= 0.0) & (l1 >= 0.0) & (l0 + l1 <= 1.0)
+        z = ev(pipe.F_Z)
+        mask = cov & (z < depth) & (z >= 0.0)
+        inv_iw = 1.0 / jnp.maximum(ev(pipe.F_IW), 1e-12)
 
         new = jnp.stack(
             [
-                interp(pipe.F_COL + 0),
-                interp(pipe.F_COL + 3),
-                interp(pipe.F_COL + 6),
-                interp(pipe.F_UV + 0),
-                interp(pipe.F_UV + 3),
+                ev(pipe.F_COL + 0) * inv_iw,
+                ev(pipe.F_COL + 3) * inv_iw,
+                ev(pipe.F_COL + 6) * inv_iw,
+                ev(pipe.F_UV + 0) * inv_iw,
+                ev(pipe.F_UV + 3) * inv_iw,
                 jnp.broadcast_to(s[pipe.F_MAT], (h, w)),
             ]
         )

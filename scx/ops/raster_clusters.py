@@ -49,8 +49,8 @@ def cluster_bounds(aabb, valid, max_tris: int, setup=None):
     bounds = jnp.stack([xmin, ymin, xmax, ymax], -1)
     if setup is None:
         return bounds, cl_valid
-    zw = setup[:, pipe.F_ZW : pipe.F_ZW + 3].reshape(c, CLUSTER, 3)
-    zmin = jnp.min(jnp.where(v[..., None], zw, big), axis=(1, 2))
+    tz = setup[:, pipe.F_ZMIN].reshape(c, CLUSTER)
+    zmin = jnp.min(jnp.where(v, tz, big), axis=1)
     return bounds, cl_valid, zmin
 
 
@@ -164,7 +164,7 @@ def _kernel(
         # a (CH, th, tw) lattice, reduced by min-depth within the chunk —
         # depth-buffering is a min-reduction so this is exact.  Amortizes
         # the scalar loop/branch overhead that dominates per-tri loops.
-        CH = 8
+        CH = 16
 
         def _pass_a_cluster(kc):
             tile_x0 = tx.astype(jnp.float32) * tw
@@ -175,45 +175,29 @@ def _kernel(
             def chunk(c, _):
                 blk = buf[kc, pl.ds(c * CH, CH), :]          # (CH, 128)
                 g = lambda f: blk[:, f : f + 1][:, :, None]  # (CH,1,1)
-                x0, x1, x2 = g(pipe.F_X), g(pipe.F_X + 1), g(pipe.F_X + 2)
-                y0, y1, y2 = g(pipe.F_Y), g(pipe.F_Y + 1), g(pipe.F_Y + 2)
-                ok = (
-                    (g(pipe.F_VALID) > 0.0)
-                    & (jnp.maximum(x0, jnp.maximum(x1, x2)) >= tile_x0)
-                    & (jnp.minimum(x0, jnp.minimum(x1, x2)) < tile_x0 + tw)
-                    & (jnp.maximum(y0, jnp.maximum(y1, y2)) >= tile_y0)
-                    & (jnp.minimum(y0, jnp.minimum(y1, y2)) < tile_y0 + th)
-                )
-                any_hit = jnp.any(ok)
 
-                @pl.when(any_hit)
+                def ev(base):  # plane: a*px + b*py + c, (CH,th,tw)
+                    return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
+
+                l0 = ev(pipe.F_L0)
+                l1 = ev(pipe.F_L1)
+                cov = (l0 >= 0.0) & (l1 >= 0.0) & (l0 + l1 <= 1.0)
+                z = ev(pipe.F_Z)
+                zm = jnp.where(cov & (z >= 0.0), z, 2.0)     # (CH,th,tw)
+
+                # fold: nearest tri of the chunk per pixel
+                best_z = zm[0]
+                best_j = jnp.zeros((th, tw), jnp.int32)
+                for j in range(1, CH):
+                    better = zm[j] < best_z
+                    best_z = jnp.where(better, zm[j], best_z)
+                    best_j = jnp.where(better, j, best_j)
+
+                depth = depth_ref[:]
+                m = best_z < depth
+
+                @pl.when(jnp.any(m))
                 def _():
-                    e0 = (x2 - x1) * (pyc - y1) - (y2 - y1) * (pxc - x1)
-                    e1 = (x0 - x2) * (pyc - y2) - (y0 - y2) * (pxc - x2)
-                    e2 = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
-                    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-                    sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
-                    cov = (
-                        (e0 * sgn >= 0.0) & (e1 * sgn >= 0.0) & (e2 * sgn >= 0.0)
-                    )
-                    inv_area = 1.0 / jnp.where(area2 == 0.0, 1e-9, area2)
-                    z = (
-                        e0 * g(pipe.F_ZW)
-                        + e1 * g(pipe.F_ZW + 1)
-                        + e2 * g(pipe.F_ZW + 2)
-                    ) * inv_area
-                    zm = jnp.where(cov & ok & (z >= 0.0), z, 2.0)  # (CH,th,tw)
-
-                    # fold: nearest tri of the chunk per pixel
-                    best_z = zm[0]
-                    best_j = jnp.zeros((th, tw), jnp.int32)
-                    for j in range(1, CH):
-                        better = zm[j] < best_z
-                        best_z = jnp.where(better, zm[j], best_z)
-                        best_j = jnp.where(better, j, best_j)
-
-                    depth = depth_ref[:]
-                    m = best_z < depth
                     depth_ref[:] = jnp.where(m, best_z, depth)
                     winner_ref[:] = jnp.where(
                         m, kc * CLUSTER + c * CH + best_j, winner_ref[:]
@@ -238,35 +222,18 @@ def _kernel(
                     @pl.when(hit)
                     def _():
                         s = lambda f: buf[kc, j, f]
-                        x0, x1, x2 = s(pipe.F_X), s(pipe.F_X + 1), s(pipe.F_X + 2)
-                        y0, y1, y2 = s(pipe.F_Y), s(pipe.F_Y + 1), s(pipe.F_Y + 2)
-                        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-                        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-                        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-                        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-                        inv_area = 1.0 / area2
-                        l0 = e0 * inv_area
-                        l1 = e1 * inv_area
-                        l2 = e2 * inv_area
-                        iw = (
-                            l0 * s(pipe.F_IW)
-                            + l1 * s(pipe.F_IW + 1)
-                            + l2 * s(pipe.F_IW + 2)
-                        )
-                        inv_iw = 1.0 / jnp.maximum(iw, 1e-12)
 
-                        def interp(base):
-                            return (
-                                l0 * s(base) + l1 * s(base + 1) + l2 * s(base + 2)
-                            ) * inv_iw
+                        def ev(base):
+                            return s(base) * px + s(base + 1) * py + s(base + 2)
 
+                        inv_iw = 1.0 / jnp.maximum(ev(pipe.F_IW), 1e-12)
                         new = jnp.stack(
                             [
-                                interp(pipe.F_COL + 0),
-                                interp(pipe.F_COL + 3),
-                                interp(pipe.F_COL + 6),
-                                interp(pipe.F_UV + 0),
-                                interp(pipe.F_UV + 3),
+                                ev(pipe.F_COL + 0) * inv_iw,
+                                ev(pipe.F_COL + 3) * inv_iw,
+                                ev(pipe.F_COL + 6) * inv_iw,
+                                ev(pipe.F_UV + 0) * inv_iw,
+                                ev(pipe.F_UV + 3) * inv_iw,
                                 jnp.broadcast_to(s(pipe.F_MAT), (th, tw)),
                             ]
                         )

@@ -32,15 +32,19 @@ from flax import struct
 from scx.core import math3d as m3
 from scx.render.mesh import MeshPool
 
-# setup-field layout (keep in sync with scx.ops.raster)
-F_X = 0          # +3
-F_Y = 3          # +3
-F_ZW = 6         # +3 (NDC z/w per vertex, 0..1)
-F_IW = 9         # +3 (1/w per vertex)
-F_COL = 12       # +9 (color premultiplied by 1/w, vertex-major)
-F_UV = 21        # +6 (uv premultiplied by 1/w)
+# setup-field layout (keep in sync with scx.ops.raster*): everything the
+# kernels evaluate per pixel is a PLANE a*px + b*py + c — barycentrics,
+# depth, 1/w and premultiplied attributes are all linear in screen space,
+# so per-triangle work in the kernel is 2 madds per quantity.
+F_L0 = 0         # +3 lambda0 plane (a, b, c); invalid tris get l0 == -1
+F_L1 = 3         # +3 lambda1 plane (lambda2 = 1 - l0 - l1)
+F_Z = 6          # +3 depth plane (NDC z, 0..1)
+F_IW = 9         # +3 1/w plane
+F_COL = 12       # +9 premultiplied rgb planes (3 channels x (a,b,c))
+F_UV = 21        # +6 premultiplied uv planes
 F_MAT = 27       # material id as float
 F_VALID = 28     # > 0 when triangle live
+F_ZMIN = 29      # min vertex depth (cluster binning reads this)
 N_FIELDS = 32    # padded
 
 
@@ -324,23 +328,51 @@ def setup_triangles(
     uv = cattrs[..., 3:5] * inv_w[..., None]       # [T,3,2]
     mat = mat_ids.astype(jnp.float32)
 
-    t = params.max_tris
-    # channel-major packing: field F_COL + 3*channel + vertex (the kernel
-    # interpolates s(base), s(base+1), s(base+2) across the three vertices)
-    setup = jnp.concatenate(
-        [
-            sx,
-            sy,
-            zw,
-            inv_w,
-            jnp.swapaxes(color, 1, 2).reshape(t, 9),
-            jnp.swapaxes(uv, 1, 2).reshape(t, 6),
-            mat[:, None],
-            valid.astype(jnp.float32)[:, None],
-            jnp.zeros((t, N_FIELDS - F_VALID - 1), jnp.float32),
-        ],
-        axis=1,
-    )
+    # ---- plane-equation conversion ----
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    inv_area = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
+    l0x = -(y2 - y1) * inv_area
+    l0y = (x2 - x1) * inv_area
+    l0c = ((y2 - y1) * x1 - (x2 - x1) * y1) * inv_area
+    l1x = -(y0 - y2) * inv_area
+    l1y = (x0 - x2) * inv_area
+    l1c = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv_area
+    # invalid triangles become always-outside (l0 == -1 everywhere): the
+    # kernels then need no validity branch at all
+    l0x = jnp.where(valid, l0x, 0.0)
+    l0y = jnp.where(valid, l0y, 0.0)
+    l0c = jnp.where(valid, l0c, -1.0)
+    l1x = jnp.where(valid, l1x, 0.0)
+    l1y = jnp.where(valid, l1y, 0.0)
+    l1c = jnp.where(valid, l1c, 0.0)
+
+    def plane(v):
+        # v [T,3] per-vertex -> (a, b, c) with f(p) = sum(lambda_i * v_i)
+        d0 = v[:, 0] - v[:, 2]
+        d1 = v[:, 1] - v[:, 2]
+        return (
+            l0x * d0 + l1x * d1,
+            l0y * d0 + l1y * d1,
+            l0c * d0 + l1c * d1 + v[:, 2],
+        )
+
+    planes = [l0x, l0y, l0c, l1x, l1y, l1c]
+    planes += list(plane(zw))
+    planes += list(plane(inv_w))
+    for c in range(3):
+        planes += list(plane(color[:, :, c]))
+    for c in range(2):
+        planes += list(plane(uv[:, :, c]))
+    tri_zmin = jnp.min(zw, axis=1)
+    planes += [
+        mat,
+        valid.astype(jnp.float32),
+        tri_zmin,
+        jnp.zeros_like(mat),
+        jnp.zeros_like(mat),
+    ]
+    setup = jnp.stack(planes, axis=1)
 
     aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
     return setup, aabb, valid
