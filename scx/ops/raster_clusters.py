@@ -133,14 +133,14 @@ def _kernel(
         cid = cl_ids_ref[tile, kc]
         return pltpu.make_async_copy(setup_hbm.at[cid], buf.at[kc], sems.at[kc])
 
-    # start all DMAs up-front (each ~8KB; the engine pipelines them)
-    def start_one(kc, _):
+    # pipelined DMA: 2 in flight; pass A starts kc+2 before using kc
+    def start_if(kc):
         @pl.when(kc < cnt)
         def _():
             dma(kc).start()
-        return _
 
-    jax.lax.fori_loop(0, kc_max, lambda kc, x: (start_one(kc, x), x)[1], None)
+    start_if(0)
+    start_if(1)
 
     def run_scoped_body(winner_ref):
         winner_ref[:] = jnp.full((th, tw), -1, jnp.int32)
@@ -152,6 +152,10 @@ def _kernel(
         def pass_a(kc, _):
             @pl.when(kc < cnt)
             def _():
+                @pl.when(kc + 2 < cnt)
+                def _():
+                    dma(kc + 2).start()
+
                 dma(kc).wait()
                 tile_zmax = jnp.max(depth_ref[:])
                 cid = cl_ids_ref[tile, kc]
@@ -203,45 +207,56 @@ def _kernel(
                         m, kc * CLUSTER + c * CH + best_j, winner_ref[:]
                     )
 
-            jax.lax.fori_loop(0, CLUSTER // CH, chunk, None)
+            # unrolled: fori iteration overhead dwarfs the vector work
+            for c in range(CLUSTER // CH):
+                chunk(c, None)
 
-        jax.lax.fori_loop(0, kc_max, pass_a, None)
+        jax.lax.fori_loop(0, cnt, pass_a, None)
 
-        # ---- pass B: attributes for winning triangles only ----
+        # ---- pass B: attributes, whole cluster vectorized ----
+        # each pixel's winner code selects exactly one triangle; evaluating
+        # all 32 attribute planes of a HIT cluster and mask-summing over the
+        # one-hot (winner == code_j) beats any scalar per-tri loop
+        codes = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, 1, 1), 0)
+        pyc = py[None]
+        pxc = px[None]
+
         def pass_b(kc, _):
             w = winner_ref[:]
-            cluster_hit = jnp.any((w >= kc * CLUSTER) & (w < (kc + 1) * CLUSTER))
+            lo = kc * CLUSTER
+            in_cluster = (w >= lo) & (w < lo + CLUSTER)
 
-            @pl.when((kc < cnt) & cluster_hit)
+            @pl.when(jnp.any(in_cluster))
             def _():
-                def tri(j, __):
-                    code = kc * CLUSTER + j
-                    win = winner_ref[:] == code
-                    hit = jnp.any(win)
+                blk = buf[kc]                                  # (CLUSTER,128)
+                g = lambda f: blk[:, f : f + 1][:, :, None]    # (CL,1,1)
 
-                    @pl.when(hit)
-                    def _():
-                        s = lambda f: buf[kc, j, f]
+                def ev(base):                                  # (CL,th,tw)
+                    return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
 
-                        def ev(base):
-                            return s(base) * px + s(base + 1) * py + s(base + 2)
+                onehot = ((w[None] - lo) == codes).astype(jnp.float32)
 
-                        inv_iw = 1.0 / jnp.maximum(ev(pipe.F_IW), 1e-12)
-                        new = jnp.stack(
-                            [
-                                ev(pipe.F_COL + 0) * inv_iw,
-                                ev(pipe.F_COL + 3) * inv_iw,
-                                ev(pipe.F_COL + 6) * inv_iw,
-                                ev(pipe.F_UV + 0) * inv_iw,
-                                ev(pipe.F_UV + 3) * inv_iw,
-                                jnp.broadcast_to(s(pipe.F_MAT), (th, tw)),
-                            ]
-                        )
-                        attr_ref[:] = jnp.where(win[None, :, :], new, attr_ref[:])
+                def resolve(base):
+                    return jnp.sum(ev(base) * onehot, axis=0)  # (th,tw)
 
-                jax.lax.fori_loop(0, CLUSTER, tri, None)
+                iw = jnp.maximum(resolve(pipe.F_IW), 1e-12)
+                inv_iw = 1.0 / iw
+                matv = jnp.sum(
+                    jnp.broadcast_to(g(pipe.F_MAT), onehot.shape) * onehot, axis=0
+                )
+                new = jnp.stack(
+                    [
+                        resolve(pipe.F_COL + 0) * inv_iw,
+                        resolve(pipe.F_COL + 3) * inv_iw,
+                        resolve(pipe.F_COL + 6) * inv_iw,
+                        resolve(pipe.F_UV + 0) * inv_iw,
+                        resolve(pipe.F_UV + 3) * inv_iw,
+                        matv,
+                    ]
+                )
+                attr_ref[:] = jnp.where(in_cluster[None], new, attr_ref[:])
 
-        jax.lax.fori_loop(0, kc_max, pass_b, None)
+        jax.lax.fori_loop(0, cnt, pass_b, None)
 
     pl.run_scoped(run_scoped_body, pltpu.VMEM((th, tw), jnp.int32))
 
