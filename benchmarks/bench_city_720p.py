@@ -1,0 +1,123 @@
+"""BASELINE config #3: one dense city chunk (~100k tris), street-level camera."""
+import time, sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp, numpy as np
+from scx import render as rd
+from scx.render import pipeline as pipe
+from scx.ops import raster_clusters as rc
+from scx.render.mesh import build_mesh_pool
+
+# --- generate a dense city-chunk mesh: grid of buildings with subdivided
+# facades so the triangle budget (~100k) matches the config ---
+rng = np.random.RandomState(7)
+verts_all, tris_all = [], []
+v_off = 0
+def add_box(cx, cz, w, h, d, sub):
+    global v_off, verts_all, tris_all
+    # subdivided boxes: sub x sub quads per face
+    for axis, sign in [(0,1),(0,-1),(1,1),(2,1),(2,-1)]:  # skip bottom
+        u_axis, v_axis = (axis+1)%3, (axis+2)%3
+        dims = [w, h, d]
+        for i in range(sub):
+            for j in range(sub):
+                u0, u1 = -0.5 + i/sub, -0.5 + (i+1)/sub
+                q0, q1 = -0.5 + j/sub, -0.5 + (j+1)/sub
+                quad = []
+                for (uu, qq) in [(u0,q0),(u1,q0),(u1,q1),(u0,q1)]:
+                    p = [0.,0.,0.]
+                    p[axis] = 0.5*sign
+                    p[u_axis] = uu
+                    p[v_axis] = qq
+                    pw = [p[0]*w+cx, p[1]*h+h/2, p[2]*d+cz]
+                    lum = 0.35 + 0.5*rng.rand()
+                    quad.append(pw + [lum,lum,lum] + [uu+0.5, qq+0.5])
+                base = v_off + len(quad)*0  # local
+                k = len(verts_all)
+                verts_all.extend(quad)
+                if sign > 0:
+                    tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
+                else:
+                    tris_all += [[k,k+2,k+1],[k,k+3,k+2]]
+
+# 12x12 buildings, subdiv 3 -> 12*12*5*9*2 = 12960 tris... need ~100k: subdiv 5: 12*12*5*25*2 = 36000; 20x20 grid subdiv 4: 20*20*5*16*2=64000; 22x22 sub 4 = 77k; add ground grid
+G = 22
+for bi in range(G):
+    for bj in range(G):
+        cx = (bi - G/2) * 14.0 + rng.uniform(-2,2)
+        cz = -bj * 14.0 - 8.0
+        w = rng.uniform(6, 10); d = rng.uniform(6, 10); h = rng.uniform(8, 35)
+        add_box(cx, cz, w, h, d, 4)
+# ground: big grid of quads 40x40 over the area
+GS = 24
+for i in range(GS):
+    for j in range(GS):
+        x0 = (i-GS/2)*16.0; z0 = -j*16.0
+        k = len(verts_all)
+        lum = 0.25
+        for (xx, zz) in [(x0,z0),(x0+16,z0),(x0+16,z0-16),(x0,z0-16)]:
+            verts_all.append([xx, 0.0, zz, lum,lum,lum, (xx%16)/16, (zz%16)/16])
+        tris_all += [[k,k+2,k+1],[k,k+3,k+2]]
+verts = np.asarray(verts_all, np.float32)
+tris = np.asarray(tris_all, np.int32)
+print("city chunk:", len(tris), "tris", len(verts), "verts", flush=True)
+
+pool = build_mesh_pool([(verts, tris)])
+KC = 256
+params = rd.RasterParams(width=1280, height=720, max_tris=131072,
+                         max_clusters_per_tile=KC, min_area2=0.25, interpret=False)
+draws = rd.DrawList(mesh_id=jnp.zeros((1,), jnp.int32), material_id=jnp.zeros((1,), jnp.int32),
+                    model=jnp.eye(4)[None], valid=jnp.ones((1,), bool))
+# street-level camera looking down an avenue
+vp = rd.camera_view_proj(jnp.asarray([7.0, 2.5, 4.0]), jnp.asarray([7.0, 2.0, -60.0]),
+                         jnp.asarray([0.0, 1.0, 0.0]), aspect=1280/720)
+mats = pipe.Materials(texture_id=jnp.asarray([-1], jnp.int32), tint=jnp.ones((1,3)))
+yy, xx = np.mgrid[0:64, 0:64]
+tex = jnp.asarray(np.stack([((yy+xx)%2).astype(np.float32)]*3, -1))[None]
+
+geom = jax.jit(lambda d: pipe.setup_triangles(pipe.sort_draws_spatial(d, vp, params), pool, vp, params))
+def _bin(a, v, s):
+    ca, cv, cz = rc.cluster_bounds(a, v, params.max_tris, s)
+    ids, counts = rc.bin_clusters(ca, cv, params, KC, cl_zmin=cz)
+    return ids, counts, cz
+binf = jax.jit(_bin)
+rast = jax.jit(lambda s, i, c, z: rc.rasterize_clusters(s, i, c, params, KC, cl_zmin=z))
+shadef = jax.jit(lambda g: pipe.shade(g, mats, tex))
+
+def frame(d):
+    setup, aabb, valid = geom(d)
+    ids, counts, z = binf(aabb, valid, setup)
+    g = rast(setup, ids, counts, z)
+    return shadef(g), g, counts
+
+t0=time.time(); rgb, g, counts = frame(draws); jax.block_until_ready(rgb)
+print("compile+first: %.1f s" % (time.time()-t0), flush=True)
+print("covered:", int(np.asarray(g["covered"]).sum()), "max_occ:", int(jnp.max(counts)),
+      "mean_occ:", float(jnp.mean(counts)), "sat:", int(jnp.sum(counts>=KC)), flush=True)
+N=30
+t0=time.time()
+for _ in range(N): rgb, g, counts = frame(draws)
+jax.block_until_ready(rgb)
+dt=(time.time()-t0)/N
+print("frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
+setup, aabb, valid = geom(draws)
+print("valid tris:", int(valid.sum()), flush=True)
+for name, f, args in [("geom", geom, (draws,)), ("bin", binf, (aabb, valid, setup))]:
+    r = f(*args); jax.block_until_ready(r)
+    t0=time.time()
+    for _ in range(N): r = f(*args)
+    jax.block_until_ready(r)
+    print("%s: %.2f ms" % (name, (time.time()-t0)/N*1e3), flush=True)
+ids, counts, z = binf(aabb, valid, setup)
+g2 = rast(setup, ids, counts, z); jax.block_until_ready(g2)
+t0=time.time()
+for _ in range(N): g2 = rast(setup, ids, counts, z)
+jax.block_until_ready(g2)
+print("raster: %.2f ms" % ((time.time()-t0)/N*1e3), flush=True)
+# save a frame for visual sanity
+arr = np.clip(np.asarray(rgb)*255, 0, 255).astype(np.uint8)
+from PIL import Image; Image.fromarray(arr).save("/tmp/city_frame.png")
+print("saved /tmp/city_frame.png", flush=True)

@@ -223,15 +223,21 @@ def _near_clip(clip, attrs, live, extra_cap: int, eps: float):
     )
     live1 = keep | one_out | two_out
 
-    # scatter the quad's second triangle into the extra region (last slots)
+    # the quad case emits a second triangle; instead of scattering those
+    # into the buffer tail (TPU scatters of [T,3,4] rows measured ~30ms),
+    # recover the e-th crossing triangle's index by binary search over the
+    # crossing-count prefix sum and GATHER the extras (2048 small gathers)
     tri2 = jnp.stack([i01, u[:, 2], i20], axis=1)
     at2 = jnp.stack([a01, ua[:, 2], a20], axis=1)
-    rank = jnp.cumsum(one_out.astype(jnp.int32)) - 1
-    dest = jnp.where(one_out & (rank < extra_cap), t - extra_cap + rank, t)
-    tri1 = tri1.at[dest].set(tri2, mode="drop")
-    at1 = at1.at[dest].set(at2, mode="drop")
-    live1 = live1.at[dest].set(one_out, mode="drop")
-    return tri1, at1, live1
+    cum = jnp.cumsum(one_out.astype(jnp.int32))
+    targets = jnp.arange(1, extra_cap + 1, dtype=jnp.int32)
+    srcs = jnp.minimum(
+        jnp.searchsorted(cum, targets, side="left").astype(jnp.int32), t - 1
+    )
+    have = targets <= cum[-1]
+    extra_tri = jnp.where(have[:, None, None], tri2[srcs], 0.0)
+    extra_at = jnp.where(have[:, None, None], at2[srcs], 0.0)
+    return tri1, at1, live1, srcs, have, extra_tri, extra_at
 
 
 def setup_triangles(
@@ -269,23 +275,23 @@ def setup_triangles(
             jnp.zeros((pad,), draws.material_id.dtype),
         ]
     )
-    # clip outputs inherit... second tris land in the extra region; their
-    # material comes from a parallel scatter of the source material
     # clip at (just inside) the real near plane: intersection vertices then
     # have w ~ near_z and bounded screen coordinates — clipping at a tiny
     # epsilon instead produces +-100k-pixel triangles and f32 edge functions
     # lose the depth test at the horizon
     clip_eps = params.near_z * 0.9
-    w0 = clip[..., 3]
-    one_out_pre = live & (jnp.sum((w0 > clip_eps).astype(jnp.int32), -1) == 2)
-    rank = jnp.cumsum(one_out_pre.astype(jnp.int32)) - 1
-    t_full = params.max_tris
-    dest = jnp.where(
-        one_out_pre & (rank < pad), t_full - pad + rank, t_full
+    clip, cattrs, live, ex_src, ex_have, ex_tri, ex_at = _near_clip(
+        clip, cattrs, live, pad, clip_eps
     )
-    mat_ids = mat_ids.at[dest].set(mat_ids, mode="drop")
-
-    clip, cattrs, live = _near_clip(clip, cattrs, live, pad, clip_eps)
+    if pad > 0:
+        # append the clip extras into the reserved tail (pure gathers)
+        t_full = params.max_tris
+        clip = clip.at[t_full - pad :].set(ex_tri)
+        cattrs = cattrs.at[t_full - pad :].set(ex_at)
+        live = live.at[t_full - pad :].set(ex_have)
+        mat_ids = mat_ids.at[t_full - pad :].set(
+            jnp.where(ex_have, mat_ids[ex_src], 0)
+        )
 
     w = clip[..., 3]
     near_ok = jnp.all(w > clip_eps * 0.5, axis=-1)
