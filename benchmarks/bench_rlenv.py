@@ -1,0 +1,58 @@
+"""BASELINE config #5: vectorized sim-for-RL envs with scripted traffic and
+RGB-D observations, one chip.
+
+Reports env-steps/sec for the FULL loop (physics + traffic AI + 128x128
+RGB-D render per env per step).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+
+def main():
+    n_envs = int(os.environ.get("RL_ENVS", "1024"))
+    obs_size = int(os.environ.get("RL_OBS", "128"))
+    from scx.app.rlenv import CityRLEnv
+
+    t0 = time.time()
+    env = CityRLEnv(
+        n_envs=n_envs, capacity=160, obs_size=obs_size, n_traffic=8,
+        interpret=False,
+    )
+    print(f"built {n_envs} envs in {time.time()-t0:.1f}s", flush=True)
+
+    actions = np.tile(np.asarray([[0.7, 0.0, 0.1, 0.0]], np.float32), (n_envs, 1))
+    t0 = time.time()
+    obs, rew = env.step(actions)
+    jax.block_until_ready(obs)
+    print(f"compile+first step {time.time()-t0:.1f}s; obs {obs.shape}", flush=True)
+
+    steps = 10
+    t0 = time.time()
+    for _ in range(steps):
+        obs, rew = env.step(actions)
+    jax.block_until_ready(obs)
+    dt = time.time() - t0
+    rate = n_envs * steps / dt
+    print(
+        f"{rate:,.0f} env-steps/s with {obs_size}x{obs_size} RGB-D "
+        f"({steps} steps x {n_envs} envs in {dt:.2f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,8 @@ from scx.state.entity import (
     BODY_DYNAMIC,
     BODY_KINEMATIC,
     BODY_NONE,
+    C_VEHICLE,
+    C_VEHICLE_INPUT,
 )
 
 
@@ -100,9 +102,50 @@ def traffic_lod_update(state: EntityState, player_pos, cfg: TrafficConfig):
     vel = jnp.where(newly_a[:, None], 0.0, state.body.vel)
     omega = jnp.where(newly_a[:, None], 0.0, state.body.omega)
 
+    # tier A = full raycast vehicle (applyMode adds VehicleComponent +
+    # VehicleInput, sc_traffic_lod.cpp:193-257): toggle the component bits
+    # and lay wheels out from the collider extents with the traffic
+    # suspension offset (sc_vehicle.cpp:266-304, traffic branch)
+    is_a_now = is_agent & ~despawn & (new_mode == TRAFFIC_PHYSICS)
+    # agents hold the vehicle bits only while tier A; non-agents (the
+    # player's car) are untouched
+    comp = jnp.where(
+        is_agent,
+        jnp.where(
+            is_a_now,
+            state.components | jnp.uint32(C_VEHICLE | C_VEHICLE_INPUT),
+            state.components & ~jnp.uint32(C_VEHICLE | C_VEHICLE_INPUT),
+        ),
+        state.components,
+    )
+    he = state.body.half_extents
+    hx = jnp.maximum(0.2, he[:, 0])
+    hy = jnp.maximum(0.2, he[:, 1])
+    hz = jnp.maximum(0.4, he[:, 2])
+    wv = state.vehicle
+    wheel_x = hx - 0.25 * 0.5  # wheel width default (sc_ecs.h:130)
+    wheel_y = -hy + wv.wheel_radius - wv.susp_rest
+    front_z = hz - wv.wheel_radius * 0.5
+    rear_z = -hz + wv.wheel_radius * 0.5
+    conn = jnp.stack(
+        [
+            jnp.stack([-wheel_x, wheel_y, front_z], -1),
+            jnp.stack([wheel_x, wheel_y, front_z], -1),
+            jnp.stack([-wheel_x, wheel_y, rear_z], -1),
+            jnp.stack([wheel_x, wheel_y, rear_z], -1),
+        ],
+        axis=1,
+    )  # [N,4,3]
+    wheel_conn = jnp.where(newly_a[:, None, None], conn, wv.wheel_conn)
+
     state = state.replace(
+        components=comp,
         traffic=tr.replace(mode=new_mode),
         body=state.body.replace(body_type=body_type, vel=vel, omega=omega),
+        vehicle=wv.replace(
+            wheel_conn=wheel_conn,
+            smoothed=jnp.where(newly_a[:, None], 0.0, wv.smoothed),
+        ),
     )
     return state, despawn
 

@@ -180,3 +180,37 @@ def test_spawner_spawns_and_respects_rules():
         if len(ss) > 1:
             assert np.diff(ss).min() >= tcfg.min_lane_gap - 1e-3
     wp.shutdown()
+
+
+def test_lod_tier_a_gets_vehicle_components():
+    cfg = TrafficConfig()
+    s = make_agents([10.0, 200.0])
+    s = s.replace(
+        body=s.body.replace(
+            half_extents=s.body.half_extents.at[:2].set(
+                jnp.asarray([[0.9, 0.6, 2.1]] * 2)
+            )
+        )
+    )
+    s2, _ = tlod.traffic_lod_update(s, jnp.zeros(3), cfg)
+    from scx.state.entity import C_VEHICLE, C_VEHICLE_INPUT
+
+    assert int(s2.traffic.mode[0]) == st.TRAFFIC_PHYSICS
+    assert int(s2.components[0]) & C_VEHICLE
+    assert int(s2.components[0]) & C_VEHICLE_INPUT
+    # wheels laid out from the collider extents (front wheels at +z)
+    conn = np.asarray(s2.transform.pos[0])  # just sanity on wheel_conn below
+    wc = np.asarray(s2.vehicle.wheel_conn[0])
+    assert wc[0, 2] > 0 and wc[2, 2] < 0      # front/rear z
+    assert wc[0, 0] < 0 and wc[1, 0] > 0      # left/right x
+    assert wc[0, 1] < 0                       # below chassis center
+    # far agent stays OnRails without vehicle bits
+    assert not (int(s2.components[1]) & C_VEHICLE)
+    # demotion strips the bits again
+    s3 = s2.replace(
+        transform=s2.transform.replace(
+            pos=s2.transform.pos.at[0, 0].set(500.0)
+        )
+    )
+    s4, _ = tlod.traffic_lod_update(s3, jnp.zeros(3), cfg)
+    assert not (int(s4.components[0]) & C_VEHICLE)
