@@ -84,71 +84,101 @@ class CityRLEnv:
         self.state = self._build_batch()
 
     # ------------------------------------------------------------------
-    def _build_env(self, env_idx: int) -> ent.EntityState:
+    def _build_env_np(self, env_idx: int) -> dict:
+        """Numpy column overrides for one env (no device dispatches)."""
         cfg = WorldPartitionConfig(seed=self.seed + env_idx)
-        state = ent.alloc_entity_state(self.capacity)
         recs = procgen.generate_sector_spawns(cfg, 0, 0)
         arrs = procgen.spawns_to_arrays(recs)
         k = len(recs)
-        rot = np.zeros((k, 4), np.float32)
-        rot[:, 0] = np.cos(arrs["rot"][:, 1] * 0.5)
-        rot[:, 2] = np.sin(arrs["rot"][:, 1] * 0.5)
-        state = state.replace(
-            alive=state.alive.at[:k].set(True),
-            transform=state.transform.replace(
-                pos=state.transform.pos.at[:k].set(jnp.asarray(arrs["pos"])),
-                rot=state.transform.rot.at[:k].set(jnp.asarray(rot)),
-                scale=state.transform.scale.at[:k].set(jnp.asarray(arrs["scale"])),
-            ),
-            render=state.render.replace(
-                mesh_id=state.render.mesh_id.at[:k].set(0),
-                material_id=state.render.material_id.at[:k].set(0),
-            ),
-            body=state.body.replace(
-                body_type=state.body.body_type.at[:k].set(ent.BODY_STATIC),
-                half_extents=state.body.half_extents.at[:k].set(
-                    jnp.asarray(arrs["scale"]) * 0.5
-                ),
-            ),
-        )
-        # traffic agents spread along the lanes
+        n = self.capacity
+        cols = {
+            "alive": np.zeros(n, bool),
+            "pos": np.zeros((n, 3), np.float32),
+            "rot": np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1)),
+            "scale": np.ones((n, 3), np.float32),
+            "mesh": np.full(n, -1, np.int32),
+            "mat": np.full(n, -1, np.int32),
+            "body_type": np.full(n, ent.BODY_NONE, np.int32),
+            "half": np.full((n, 3), 0.5, np.float32),
+            "mode": np.full(n, ent.TRAFFIC_NONE, np.int32),
+            "lane": np.full(n, -1, np.int32),
+            "lane_s": np.zeros(n, np.float32),
+        }
+        cols["alive"][:k] = True
+        cols["pos"][:k] = arrs["pos"]
+        cols["rot"][:k, 0] = np.cos(arrs["rot"][:, 1] * 0.5)
+        cols["rot"][:k, 2] = np.sin(arrs["rot"][:, 1] * 0.5)
+        cols["scale"][:k] = arrs["scale"]
+        cols["mesh"][:k] = 0
+        cols["mat"][:k] = 0
+        cols["body_type"][:k] = ent.BODY_STATIC
+        cols["half"][:k] = arrs["scale"] * 0.5
+
         segs = self._lane_builder.sector_segments[(0, 0)]
         for i in range(self.n_traffic):
             slot = k + i
             lane = segs[i % len(segs)]
             seg = self._lane_builder.segments[lane]
-            s0 = 6.0 + 7.0 * i
-            p = np.asarray(self._lane_builder.nodes[seg["start"]]["pos"]) + np.asarray(
-                seg["dir"]
-            ) * (s0 % max(seg["length"], 1.0))
-            state = state.replace(
-                alive=state.alive.at[slot].set(True),
-                transform=state.transform.replace(
-                    pos=state.transform.pos.at[slot].set(
-                        jnp.asarray([p[0], 0.35, p[2]])
-                    ),
-                    scale=state.transform.scale.at[slot].set(
-                        jnp.asarray([1.8, 1.2, 4.2])
-                    ),
-                ),
-                traffic=state.traffic.replace(
-                    mode=state.traffic.mode.at[slot].set(ent.TRAFFIC_ONRAILS),
-                    lane_id=state.traffic.lane_id.at[slot].set(lane),
-                    lane_s=state.traffic.lane_s.at[slot].set(
-                        s0 % max(seg["length"], 1.0)
-                    ),
-                ),
-                render=state.render.replace(
-                    mesh_id=state.render.mesh_id.at[slot].set(0),
-                    material_id=state.render.material_id.at[slot].set(0),
-                ),
+            s0 = (6.0 + 7.0 * i) % max(seg["length"], 1.0)
+            p = np.asarray(self._lane_builder.nodes[seg["start"]]["pos"]) + (
+                np.asarray(seg["dir"]) * s0
             )
-        state = spawn_player_vehicle(state, self.player, pos=(32.0, 0.6, 16.0))
-        return state
+            cols["alive"][slot] = True
+            cols["pos"][slot] = [p[0], 0.35, p[2]]
+            cols["scale"][slot] = [1.8, 1.2, 4.2]
+            cols["half"][slot] = [0.9, 0.6, 2.1]
+            cols["mesh"][slot] = 0
+            cols["mat"][slot] = 0
+            cols["mode"][slot] = ent.TRAFFIC_ONRAILS
+            cols["lane"][slot] = lane
+            cols["lane_s"][slot] = s0
+        return cols
 
     def _build_batch(self):
-        envs = [self._build_env(i) for i in range(self.n_envs)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *envs)
+        """Stack env columns in numpy, upload once, apply to a template."""
+        per_env = [self._build_env_np(i) for i in range(self.n_envs)]
+        stacked = {
+            key: jnp.asarray(np.stack([c[key] for c in per_env]))
+            for key in per_env[0]
+        }
+        template = ent.alloc_entity_state(self.capacity)
+        template = spawn_player_vehicle(
+            template, self.player, pos=(32.0, 0.6, 16.0)
+        )
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), template
+        )
+        s = stacked
+
+        def merge(batch):
+            keep_player = jnp.arange(self.capacity) == self.player
+            kp = keep_player
+            def sel(new, old):
+                mask = jnp.reshape(kp, (1, -1) + (1,) * (old.ndim - 2))
+                return jnp.where(mask, old, new)
+            return batch.replace(
+                alive=batch.alive | s["alive"],
+                transform=batch.transform.replace(
+                    pos=sel(s["pos"], batch.transform.pos),
+                    rot=sel(s["rot"], batch.transform.rot),
+                    scale=sel(s["scale"], batch.transform.scale),
+                ),
+                render=batch.render.replace(
+                    mesh_id=sel(s["mesh"], batch.render.mesh_id),
+                    material_id=sel(s["mat"], batch.render.material_id),
+                ),
+                body=batch.body.replace(
+                    body_type=sel(s["body_type"], batch.body.body_type),
+                    half_extents=sel(s["half"], batch.body.half_extents),
+                ),
+                traffic=batch.traffic.replace(
+                    mode=sel(s["mode"], batch.traffic.mode),
+                    lane_id=sel(s["lane"], batch.traffic.lane_id),
+                    lane_s=sel(s["lane_s"], batch.traffic.lane_s),
+                ),
+            )
+
+        return jax.jit(merge)(batch)
 
     # ------------------------------------------------------------------
     def _render_one(self, state):
