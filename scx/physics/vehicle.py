@@ -165,12 +165,16 @@ def vehicle_forces(
     handbrake_force,
     params: VehicleParams,
     dt: float,
+    iw_all=None,
 ):
     """One vehicle's suspension+tire impulses.
 
     Returns (d_vel, d_omega, WheelRuntime): chassis velocity deltas to be
     applied (scatter at call site so fleets can accumulate), and telemetry
     matching getVehicleTelemetry (sc_physics.cpp:1015-1058).
+
+    iw_all: precomputed world inverse-inertia [N,3,3] — pass it when calling
+    under vmap over a fleet, otherwise each lane recomputes the whole array.
     """
     pos = bodies.pos[chassis]
     quat = bodies.quat[chassis]
@@ -178,7 +182,9 @@ def vehicle_forces(
     omega = bodies.omega[chassis]
     inv_mass = bodies.inv_mass[chassis]
     chassis_mass = 1.0 / jnp.maximum(inv_mass, 1e-9)
-    iw = inv_inertia_world(bodies)[chassis]
+    if iw_all is None:
+        iw_all = inv_inertia_world(bodies)
+    iw = iw_all[chassis]
 
     r3 = m3.quat_to_mat3(quat)
     down_w = -r3[:, 1]            # suspension direction (chassis -Y)

@@ -90,13 +90,13 @@ def write_back(state: EntityState, bodies: RigidBodies) -> EntityState:
     )
 
 
-def vehicle_slots(state: EntityState):
+def vehicle_slots(state: EntityState, max_vehicles: int = MAX_VEHICLES):
     """Fixed-capacity list of vehicle entity indices (lowest-first)."""
     n = state.capacity
     is_vehicle = state.alive & ((state.components & C_VEHICLE) != 0)
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(is_vehicle, idx, n)
-    slots = jnp.sort(key)[:MAX_VEHICLES]
+    slots = jnp.sort(key)[:max_vehicles]
     return slots, slots < n
 
 
@@ -110,6 +110,9 @@ def physics_sync_step(
     bodies = bodies_from_state(state)
 
     slots, valid = vehicle_slots(state)
+    from scx.physics.rigid import inv_inertia_world as _iiw
+
+    iw_all = _iiw(bodies)
 
     def one_vehicle(slot, ok):
         safe = jnp.minimum(slot, state.capacity - 1)  # gather index
@@ -122,7 +125,8 @@ def physics_sync_step(
             front=jnp.asarray([True, True, False, False]),
         )
         dv, dw, rt = vehicle_forces(
-            bodies, safe, wheels, engine, brake, steer, hb, vparams, dt
+            bodies, safe, wheels, engine, brake, steer, hb, vparams, dt,
+            iw_all=iw_all,
         )
         z = jnp.where(ok, 1.0, 0.0)
         # scatter index: invalid slots write out of range (dropped), so they
