@@ -85,15 +85,20 @@ def _ray_capsule(o, d, pos, quat, size, inflate=0.0):
     n_cyl = m3.safe_normalize(
         jnp.asarray([1.0, 0.0, 1.0]) * (ol + dl * t_cyl), jnp.asarray([0.0, 1.0, 0.0])
     )
-    # cap spheres
+    # cap spheres; pick the nearest candidate with pairwise selects (a
+    # stacked argmin materializes a [batch..., 3, 3] tensor under vmap —
+    # 40 GB at RL fleet sizes)
     top = jnp.asarray([0.0, 1.0, 0.0]) * hh
     t_top, n_top = _ray_sphere(ol, dl, top, r)
     t_bot, n_bot = _ray_sphere(ol, dl, -top, r)
-    ts = jnp.stack([t_cyl, t_top, t_bot])
-    ns = jnp.stack([n_cyl, n_top, n_bot])
-    k = jnp.argmin(ts)
-    t = ts[k]
-    n_local = ns[k]
+    t = t_cyl
+    n_local = n_cyl
+    better = t_top < t
+    n_local = jnp.where(better, n_top, n_local)
+    t = jnp.where(better, t_top, t)
+    better = t_bot < t
+    n_local = jnp.where(better, n_bot, n_local)
+    t = jnp.where(better, t_bot, t)
     return t, m3.quat_rotate(quat, n_local)
 
 

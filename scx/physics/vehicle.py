@@ -183,8 +183,11 @@ def vehicle_forces(
     inv_mass = bodies.inv_mass[chassis]
     chassis_mass = 1.0 / jnp.maximum(inv_mass, 1e-9)
     if iw_all is None:
-        iw_all = inv_inertia_world(bodies)
-    iw = iw_all[chassis]
+        iw = inv_inertia_world(bodies)[chassis]
+    elif iw_all.ndim == 2:
+        iw = iw_all          # caller already gathered this chassis' [3,3]
+    else:
+        iw = iw_all[chassis]
 
     r3 = m3.quat_to_mat3(quat)
     down_w = -r3[:, 1]            # suspension direction (chassis -Y)

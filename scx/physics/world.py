@@ -112,9 +112,13 @@ def physics_sync_step(
     slots, valid = vehicle_slots(state)
     from scx.physics.rigid import inv_inertia_world as _iiw
 
-    iw_all = _iiw(bodies)
+    # gather per-chassis inverse inertia BEFORE the vmap: a closed-over
+    # [N,3,3] array indexed inside vmap lanes gets copy-materialized per
+    # lane by XLA (42 GB at RL batch sizes)
+    safe_slots = jnp.minimum(slots, state.capacity - 1)
+    iw_chassis = _iiw(bodies)[safe_slots]
 
-    def one_vehicle(slot, ok):
+    def one_vehicle(slot, ok, iw_c):
         safe = jnp.minimum(slot, state.capacity - 1)  # gather index
         speed = vehicle_speed_ms(bodies, safe)
         sm, engine, brake, steer, hb = smooth_controls(
@@ -126,7 +130,7 @@ def physics_sync_step(
         )
         dv, dw, rt = vehicle_forces(
             bodies, safe, wheels, engine, brake, steer, hb, vparams, dt,
-            iw_all=iw_all,
+            iw_all=iw_c,
         )
         z = jnp.where(ok, 1.0, 0.0)
         # scatter index: invalid slots write out of range (dropped), so they
@@ -134,7 +138,7 @@ def physics_sync_step(
         scatter = jnp.where(ok, safe, state.capacity)
         return scatter, dv * z, dw * z, sm, rt
 
-    v_idx, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid)
+    v_idx, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid, iw_chassis)
     bodies = bodies.replace(
         vel=bodies.vel.at[v_idx].add(v_dv, mode="drop"),
         omega=bodies.omega.at[v_idx].add(v_dw, mode="drop"),
