@@ -162,22 +162,24 @@ def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
     return draw_idx, tri_pool, live
 
 
-def _near_clip(clip, attrs, live, extra_cap: int, eps: float):
-    """Vectorized near-plane (w > eps) polygon clipping.
+def _near_clip_cols(cw, pos_cols, attr_cols, live, extra_cap: int, eps: float):
+    """Vectorized near-plane (w > eps) polygon clipping — column form.
 
-    clip [T,3,4], attrs [T,3,A].  Triangles fully in front pass through;
-    fully behind are dropped; crossing triangles are clipped: their slot is
-    replaced by the first clipped triangle and (for the quad case) a second
-    triangle is scattered into the last `extra_cap` slots of the buffer.
-    Attribute interpolation happens in clip space (linear there).  Winding
-    is preserved by keeping polygon order.  The reference gets this from the
-    GPU for free; a software rasterizer that merely culls loses any ground
-    plane the camera stands on.
+    cw: [w0, w1, w2] clip-w columns ([T] each); pos_cols: per-vertex lists of
+    (x, y, z) columns; attr_cols: per-vertex lists of attribute columns.
+    Everything stays a flat [T] array — packed [T,3,4] tensors tile-pad up
+    to 42x on TPU and OOM at RL batch sizes.
+
+    Crossing triangles are clipped: the slot is replaced by the first
+    clipped triangle; quad second-halves are recovered by binary search
+    over the crossing-count prefix sum and returned as gathered extras.
+    Attribute interpolation happens in clip space (linear there).  The
+    reference gets this from the GPU for free; a software rasterizer that
+    merely culls loses any ground plane the camera stands on.
     """
-    t = clip.shape[0]
-    w = clip[..., 3]
-    inside = w > eps
-    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)
+    t = live.shape[0]
+    inside = [w > eps for w in cw]
+    n_in = sum(i.astype(jnp.int32) for i in inside)
 
     keep = live & (n_in == 3)
     one_out = live & (n_in == 2)
@@ -185,59 +187,69 @@ def _near_clip(clip, attrs, live, extra_cap: int, eps: float):
 
     # canonical rotation: the "special" vertex first (the single outside
     # vertex for one_out; the single inside vertex for two_out)
-    special = jnp.where(one_out, jnp.argmin(inside, axis=-1), jnp.argmax(inside, axis=-1))
-    perm = (special[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]) % 3
-    u = jnp.take_along_axis(clip, perm[..., None], axis=1)     # [T,3,4]
-    ua = jnp.take_along_axis(attrs, perm[..., None], axis=1)   # [T,3,A]
+    out_idx = jnp.where(~inside[0], 0, jnp.where(~inside[1], 1, 2))
+    in_idx = jnp.where(inside[0], 0, jnp.where(inside[1], 1, 2))
+    special = jnp.where(one_out, out_idx, in_idx)
 
-    def isect(a, b, aa, ab):
-        wa = a[..., 3]
-        wb = b[..., 3]
+    # per-vertex columns: verts[v] = list of all columns of vertex v
+    n_pos = len(pos_cols[0])
+    n_att = len(attr_cols[0])
+    all_cols = [list(pos_cols[v]) + [cw[v]] + list(attr_cols[v]) for v in range(3)]
+    nc = n_pos + 1 + n_att
+
+    def rot(k):
+        """Columns of canonical vertex u_k = v[(special+k) % 3]."""
+        return [
+            jnp.where(
+                special == 0,
+                all_cols[k % 3][c],
+                jnp.where(
+                    special == 1, all_cols[(k + 1) % 3][c], all_cols[(k + 2) % 3][c]
+                ),
+            )
+            for c in range(nc)
+        ]
+
+    u0, u1, u2 = rot(0), rot(1), rot(2)
+    iw0 = u0[n_pos]  # clip w sits after the position columns
+    iw1 = u1[n_pos]
+    iw2 = u2[n_pos]
+
+    def isect(a_cols, b_cols, wa, wb):
         tt = (eps - wa) / jnp.where(jnp.abs(wb - wa) < 1e-12, 1e-12, wb - wa)
-        tt = jnp.clip(tt, 0.0, 1.0)[..., None]
-        return a + (b - a) * tt, aa + (ab - aa) * tt
+        tt = jnp.clip(tt, 0.0, 1.0)
+        return [a + (b - a) * tt for a, b in zip(a_cols, b_cols)]
 
-    i01, a01 = isect(u[:, 0], u[:, 1], ua[:, 0], ua[:, 1])
-    i20, a20 = isect(u[:, 2], u[:, 0], ua[:, 2], ua[:, 0])
+    i01 = isect(u0, u1, iw0, iw1)
+    i20 = isect(u2, u0, iw2, iw0)
 
-    # one_out (u0 outside): poly = [i01, u1, u2, i20] -> tris
-    #   (i01, u1, u2) replaces the slot, (i01, u2, i20) goes to the extra
-    # two_out (u0 inside): tri = (u0, i01, i20) replaces the slot
-    tri1 = jnp.where(
-        one_out[:, None, None],
-        jnp.stack([i01, u[:, 1], u[:, 2]], axis=1),
-        jnp.where(
-            two_out[:, None, None],
-            jnp.stack([u[:, 0], i01, i20], axis=1),
-            clip,
-        ),
-    )
-    at1 = jnp.where(
-        one_out[:, None, None],
-        jnp.stack([a01, ua[:, 1], ua[:, 2]], axis=1),
-        jnp.where(
-            two_out[:, None, None],
-            jnp.stack([ua[:, 0], a01, a20], axis=1),
-            attrs,
-        ),
-    )
+    # one_out (u0 outside): poly = [i01, u1, u2, i20] -> tri (i01,u1,u2)
+    # replaces the slot, (i01,u2,i20) goes to the extras
+    # two_out (u0 inside): tri (u0, i01, i20) replaces the slot
+    def merge(v_slot, one_cols, two_cols, orig_cols):
+        return [
+            jnp.where(one_out, oc, jnp.where(two_out, tc, gc))
+            for oc, tc, gc in zip(one_cols, two_cols, orig_cols)
+        ]
+
+    tri1 = [
+        merge(0, i01, u0, all_cols[0]),
+        merge(1, u1, i01, all_cols[1]),
+        merge(2, u2, i20, all_cols[2]),
+    ]
     live1 = keep | one_out | two_out
 
-    # the quad case emits a second triangle; instead of scattering those
-    # into the buffer tail (TPU scatters of [T,3,4] rows measured ~30ms),
-    # recover the e-th crossing triangle's index by binary search over the
-    # crossing-count prefix sum and GATHER the extras (2048 small gathers)
-    tri2 = jnp.stack([i01, u[:, 2], i20], axis=1)
-    at2 = jnp.stack([a01, ua[:, 2], a20], axis=1)
     cum = jnp.cumsum(one_out.astype(jnp.int32))
     targets = jnp.arange(1, extra_cap + 1, dtype=jnp.int32)
     srcs = jnp.minimum(
         jnp.searchsorted(cum, targets, side="left").astype(jnp.int32), t - 1
     )
     have = targets <= cum[-1]
-    extra_tri = jnp.where(have[:, None, None], tri2[srcs], 0.0)
-    extra_at = jnp.where(have[:, None, None], at2[srcs], 0.0)
-    return tri1, at1, live1, srcs, have, extra_tri, extra_at
+    tri2 = [i01, u2, i20]
+    extras = [
+        [jnp.where(have, col[srcs], 0.0) for col in tri2[v]] for v in range(3)
+    ]
+    return tri1, live1, srcs, have, extras
 
 
 def setup_triangles(
@@ -246,97 +258,103 @@ def setup_triangles(
     view_proj,
     params: RasterParams,
 ):
-    """Build the [T, N_FIELDS] screen-space setup buffer."""
-    # the tail of the triangle buffer is reserved for near-clip outputs
-    usable = params.max_tris - params.effective_clip_extra
+    """Build the [T, N_FIELDS] screen-space plane-setup buffer.
+
+    Internally everything is flat [T] columns — no [T,3,k] tensors (their
+    (8,128) tile padding explodes 16-42x on TPU, catastrophically so under a
+    vmapped env batch).
+    """
+    pad = params.effective_clip_extra
+    usable = params.max_tris - pad
+    t = params.max_tris
     draw_idx, tri_pool, live = expand_draws(draws, pool, usable)
 
-    vidx = pool.tris[tri_pool]                     # [T',3]
-    verts = pool.verts[vidx]                       # [T',3,8]
-    model = draws.model[draw_idx]                  # [T',4,4]
-    mvp = jnp.einsum(
-        "ij,tjk->tik", view_proj, model, precision=m3.PRECISION
-    )                                              # [T',4,4]
-    pos_h = jnp.concatenate(
-        [verts[..., 0:3], jnp.ones_like(verts[..., :1])], axis=-1
-    )                                              # [T',3,4]
-    clip = jnp.einsum("tij,tvj->tvi", mvp, pos_h, precision=m3.PRECISION)
+    def grow(col, fill=0.0):
+        return jnp.concatenate([col, jnp.full((pad,), fill, col.dtype)])
 
-    # pad to full capacity and run near clipping
-    pad = params.effective_clip_extra
-    clip = jnp.concatenate([clip, jnp.zeros((pad, 3, 4), clip.dtype)])
-    cattrs = jnp.concatenate(
-        [verts[..., 3:8], jnp.zeros((pad, 3, 5), verts.dtype)]
+    # per-vertex pool indices and vertex field columns (flat gathers only)
+    vidx = [pool.tris[:, v][tri_pool] for v in range(3)]
+    vcol = [[pool.verts[:, f][vidx[v]] for f in range(8)] for v in range(3)]
+
+    # mvp per draw (tiny), gathered per tri as 16 scalar columns
+    mvp = jnp.einsum(
+        "ij,djk->dik", view_proj, draws.model, precision=m3.PRECISION
     )
-    live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
-    mat_ids = jnp.concatenate(
-        [
-            draws.material_id[draw_idx],
-            jnp.zeros((pad,), draws.material_id.dtype),
-        ]
-    )
-    # clip at (just inside) the real near plane: intersection vertices then
-    # have w ~ near_z and bounded screen coordinates — clipping at a tiny
-    # epsilon instead produces +-100k-pixel triangles and f32 edge functions
-    # lose the depth test at the horizon
-    clip_eps = params.near_z * 0.9
-    clip, cattrs, live, ex_src, ex_have, ex_tri, ex_at = _near_clip(
-        clip, cattrs, live, pad, clip_eps
-    )
-    if pad > 0:
-        # append the clip extras into the reserved tail (pure gathers)
-        t_full = params.max_tris
-        clip = clip.at[t_full - pad :].set(ex_tri)
-        cattrs = cattrs.at[t_full - pad :].set(ex_at)
-        live = live.at[t_full - pad :].set(ex_have)
-        mat_ids = mat_ids.at[t_full - pad :].set(
-            jnp.where(ex_have, mat_ids[ex_src], 0)
+    mcol = [[mvp[:, i, j][draw_idx] for j in range(4)] for i in range(4)]
+
+    def clip_coord(i, v):
+        p = vcol[v]
+        return (
+            mcol[i][0] * p[0] + mcol[i][1] * p[1] + mcol[i][2] * p[2] + mcol[i][3]
         )
 
-    w = clip[..., 3]
-    near_ok = jnp.all(w > clip_eps * 0.5, axis=-1)
-    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
-    ndc = clip[..., 0:3] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * params.width
-    sy = (ndc[..., 1] * 0.5 + 0.5) * params.height
-    zw = ndc[..., 2]
+    cx = [grow(clip_coord(0, v)) for v in range(3)]
+    cy = [grow(clip_coord(1, v)) for v in range(3)]
+    cz = [grow(clip_coord(2, v)) for v in range(3)]
+    cw = [grow(clip_coord(3, v), fill=-1.0) for v in range(3)]
+    attrs = [[grow(vcol[v][f]) for f in range(3, 8)] for v in range(3)]
+    live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
+    mat_ids = jnp.concatenate(
+        [draws.material_id[draw_idx], jnp.zeros((pad,), draws.material_id.dtype)]
+    )
 
-    # signed area in screen space; cull degenerate, backfacing and sub-pixel
-    # triangles (|area| < min_area2 px^2 cannot produce stable coverage and
-    # dominate tile occupancy in far city views)
-    ax = sx[:, 1] - sx[:, 0]
-    ay = sy[:, 1] - sy[:, 0]
-    bx = sx[:, 2] - sx[:, 0]
-    by = sy[:, 2] - sy[:, 0]
-    area2 = ax * by - ay * bx
-    # convention: meshes are authored CCW-outward in y-up right-handed space;
-    # after the RH-ZO projection's Vulkan Y flip a front face lands with
-    # NEGATIVE signed area in pixel coordinates.
+    # clip at (just inside) the real near plane so clipped vertices have
+    # w ~ near_z and bounded screen coordinates (f32 edge functions lose the
+    # depth test on +-100k-pixel triangles)
+    clip_eps = params.near_z * 0.9
+    pos_cols = [[cx[v], cy[v], cz[v]] for v in range(3)]
+    tri1, live, ex_src, ex_have, extras = _near_clip_cols(
+        cw, pos_cols, attrs, live, pad, clip_eps
+    )
+    if pad > 0:
+        tail = slice(t - pad, t)
+        for v in range(3):
+            for c in range(len(tri1[v])):
+                tri1[v][c] = tri1[v][c].at[tail].set(extras[v][c])
+        live = live.at[tail].set(ex_have)
+        mat_ids = mat_ids.at[tail].set(jnp.where(ex_have, mat_ids[ex_src], 0))
+
+    # unpack: columns are (x, y, z, w, r, g, b, u, v)
+    cx = [tri1[v][0] for v in range(3)]
+    cy = [tri1[v][1] for v in range(3)]
+    cz = [tri1[v][2] for v in range(3)]
+    cw = [tri1[v][3] for v in range(3)]
+    attr = [tri1[v][4:9] for v in range(3)]
+
+    inv_w = [1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w) for w in cw]
+    sx = [(cx[v] * inv_w[v] * 0.5 + 0.5) * params.width for v in range(3)]
+    sy = [(cy[v] * inv_w[v] * 0.5 + 0.5) * params.height for v in range(3)]
+    zw = [cz[v] * inv_w[v] for v in range(3)]
+
+    near_ok = (
+        (cw[0] > clip_eps * 0.5) & (cw[1] > clip_eps * 0.5) & (cw[2] > clip_eps * 0.5)
+    )
+
+    # signed area; cull degenerate, backfacing and sub-pixel triangles.
+    # Convention: CCW-outward meshes under the Vulkan Y-flip projection give
+    # front faces NEGATIVE pixel-space area.
+    area2 = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sy[1] - sy[0]) * (sx[2] - sx[0])
     if params.cull_backface:
         face_ok = area2 < -params.min_area2
     else:
         face_ok = jnp.abs(area2) > params.min_area2
 
-    # off-screen cull
-    xmin = jnp.min(sx, -1)
-    xmax = jnp.max(sx, -1)
-    ymin = jnp.min(sy, -1)
-    ymax = jnp.max(sy, -1)
+    xmin = jnp.minimum(sx[0], jnp.minimum(sx[1], sx[2]))
+    xmax = jnp.maximum(sx[0], jnp.maximum(sx[1], sx[2]))
+    ymin = jnp.minimum(sy[0], jnp.minimum(sy[1], sy[2]))
+    ymax = jnp.maximum(sy[0], jnp.maximum(sy[1], sy[2]))
     on_screen = (
         (xmax >= 0.0) & (xmin < params.width) & (ymax >= 0.0) & (ymin < params.height)
     )
-    # depth-range cull
-    z_ok = (jnp.max(zw, -1) >= 0.0) & (jnp.min(zw, -1) <= 1.0)
+    zmax_c = jnp.maximum(zw[0], jnp.maximum(zw[1], zw[2]))
+    zmin_c = jnp.minimum(zw[0], jnp.minimum(zw[1], zw[2]))
+    z_ok = (zmax_c >= 0.0) & (zmin_c <= 1.0)
 
     valid = live & near_ok & face_ok & on_screen & z_ok
 
-    color = cattrs[..., 0:3] * inv_w[..., None]    # [T,3,3]
-    uv = cattrs[..., 3:5] * inv_w[..., None]       # [T,3,2]
-    mat = mat_ids.astype(jnp.float32)
-
-    # ---- plane-equation conversion ----
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    # ---- plane-equation conversion (all [T] columns) ----
+    x0, x1, x2 = sx
+    y0, y1, y2 = sy
     inv_area = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
     l0x = -(y2 - y1) * inv_area
     l0y = (x2 - x1) * inv_area
@@ -344,8 +362,6 @@ def setup_triangles(
     l1x = -(y0 - y2) * inv_area
     l1y = (x0 - x2) * inv_area
     l1c = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv_area
-    # invalid triangles become always-outside (l0 == -1 everywhere): the
-    # kernels then need no validity branch at all
     l0x = jnp.where(valid, l0x, 0.0)
     l0y = jnp.where(valid, l0y, 0.0)
     l0c = jnp.where(valid, l0c, -1.0)
@@ -353,28 +369,27 @@ def setup_triangles(
     l1y = jnp.where(valid, l1y, 0.0)
     l1c = jnp.where(valid, l1c, 0.0)
 
-    def plane(v):
-        # v [T,3] per-vertex -> (a, b, c) with f(p) = sum(lambda_i * v_i)
-        d0 = v[:, 0] - v[:, 2]
-        d1 = v[:, 1] - v[:, 2]
+    def plane(v0, v1, v2):
+        d0 = v0 - v2
+        d1 = v1 - v2
         return (
             l0x * d0 + l1x * d1,
             l0y * d0 + l1y * d1,
-            l0c * d0 + l1c * d1 + v[:, 2],
+            l0c * d0 + l1c * d1 + v2,
         )
 
     planes = [l0x, l0y, l0c, l1x, l1y, l1c]
-    planes += list(plane(zw))
-    planes += list(plane(inv_w))
-    for c in range(3):
-        planes += list(plane(color[:, :, c]))
-    for c in range(2):
-        planes += list(plane(uv[:, :, c]))
-    tri_zmin = jnp.min(zw, axis=1)
+    planes += list(plane(*zw))
+    planes += list(plane(*inv_w))
+    # premultiplied attribute planes: rgb then uv
+    for f in range(5):
+        pm = [attr[v][f] * inv_w[v] for v in range(3)]
+        planes += list(plane(*pm))
+    mat = mat_ids.astype(jnp.float32)
     planes += [
         mat,
         valid.astype(jnp.float32),
-        tri_zmin,
+        zmin_c,
         jnp.zeros_like(mat),
         jnp.zeros_like(mat),
     ]
