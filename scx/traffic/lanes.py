@@ -135,6 +135,33 @@ class LaneGraphBuilder:
         road((cx - off, 0.0, max_z), (cx - off, 0.0, min_z), (0.0, 0.0, -1.0))
         self.sector_segments[coord] = segs
 
+    def build_authored_for_sector(self, coord: tuple, polylines):
+        """Register authored lane polylines (LANE chunks of a sector file):
+        each polyline becomes a chain of segments; revisits reactivate."""
+        existing = self.sector_segments.get(coord)
+        if existing:
+            for s in existing:
+                self.segments[s]["active"] = True
+            self.dirty = True
+            return
+        segs = []
+        for points in polylines:
+            prev = None
+            for a, b in zip(points[:-1], points[1:]):
+                d = np.asarray(b, np.float64) - np.asarray(a, np.float64)
+                n = np.linalg.norm(d)
+                if n < 1e-6:
+                    continue
+                d = (d / n).tolist()
+                # share the corner node along the chain so advance-along-lane
+                # can walk it (the dedup key includes direction, which would
+                # otherwise split the corner into two nodes)
+                n0 = prev if prev is not None else self.add_node(a, d)
+                n1 = self.add_node(b, d)
+                segs.append(self.add_segment(n0, n1, d, coord))
+                prev = n1
+        self.sector_segments[coord] = segs
+
     def remove_sector(self, coord: tuple):
         """Deactivate (not delete) the sector's segments (:227-237)."""
         for s in self.sector_segments.get(coord, []):

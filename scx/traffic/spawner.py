@@ -80,13 +80,20 @@ class TrafficSpawner:
                 lanes.remove_sector(coord)
                 continue
 
-            half = sector_size * 0.5
-            center = (coord[0] * sector_size + half, 0.0, coord[1] * sector_size + half)
-            lanes.build_procedural_for_sector(
-                coord,
-                (center[0] - half, 0.0, center[2] - half),
-                (center[0] + half, 0.0, center[2] + half),
-            )
+            authored = getattr(partition, "authored_lanes", {}).get(coord)
+            if authored:
+                lanes.build_authored_for_sector(coord, authored)
+            else:
+                half = sector_size * 0.5
+                center = (
+                    coord[0] * sector_size + half, 0.0,
+                    coord[1] * sector_size + half,
+                )
+                lanes.build_procedural_for_sector(
+                    coord,
+                    (center[0] - half, 0.0, center[2] - half),
+                    (center[0] + half, 0.0, center[2] + half),
+                )
             lane_ids = lanes.lanes_for_sector(coord)
             if not lane_ids or desired_per_sector == 0:
                 continue

@@ -55,6 +55,7 @@ class _Sector:
     request_id: int = 0
     last_touched_frame: int = 0
     spawns: dict | None = None       # SoA arrays from the loader
+    colliders: list = field(default_factory=list)  # authored COLL records
     entity_slots: list = field(default_factory=list)
     pending_despawns: int = 0
 
@@ -108,6 +109,7 @@ class WorldPartition:
         self._pool = ThreadPoolExecutor(max_workers=max(1, budgets.max_concurrent_loads))
         self._in_flight = 0
         self._despawn_queue: list[int] = []
+        self.authored_lanes: dict[tuple, list] = {}  # coord -> [[(x,y,z)...]]
         self.stats = StreamingStats()
         self.frozen = False  # debug: freeze streaming (sc_world_partition.h:325)
 
@@ -127,17 +129,26 @@ class WorldPartition:
     # ------------------------------------------------------------------
     def _load_job(self, coord: tuple, request_id: int):
         """Worker thread: sector file or procedural fallback
-        (sc_world_partition.cpp:821-835)."""
+        (sc_world_partition.cpp:821-835). Authored files also carry collider
+        and lane chunks (world_format.h COLL/LANE)."""
         spawns = None
+        colliders = []
+        lanes = []
         if self.world_root:
             path = wf.build_sector_path(self.world_root, wf.SectorCoord(*coord))
             sf = wf.read_sector_file(path)
             if sf is not None:
                 spawns = _sector_file_to_spawns(sf, self.config)
+                colliders = sf.colliders
+                lanes = [
+                    [tuple(p) for p in lane.points]
+                    for lane in sf.lanes
+                    if len(lane.points) >= 2
+                ]
         if spawns is None:
             recs = procgen.generate_sector_spawns(self.config, coord[0], coord[1])
             spawns = procgen.spawns_to_arrays(recs)
-        self._completed.put((coord, request_id, spawns))
+        self._completed.put((coord, request_id, spawns, colliders, lanes))
 
     def _priority(self, coord, cam_sector, cam_fwd, bias_weight, use_bias):
         dx = coord[0] - cam_sector[0]
@@ -246,7 +257,9 @@ class WorldPartition:
         # pump completed loads (staleness check, cpp:854-858)
         while True:
             try:
-                coord, request_id, spawns = self._completed.get_nowait()
+                coord, request_id, spawns, colliders, lanes = (
+                    self._completed.get_nowait()
+                )
             except queue.Empty:
                 break
             self._in_flight -= 1
@@ -256,6 +269,8 @@ class WorldPartition:
                 st.stale_loads_dropped += 1
                 continue
             sec.spawns = spawns
+            sec.colliders = colliders
+            self.authored_lanes[coord] = lanes
             sec.state = SectorState.READY_TO_ACTIVATE
 
         # budgeted activation, nearest first (cpp:839-966)
@@ -269,6 +284,9 @@ class WorldPartition:
             )
         )
         for sec in ready[: self.budgets.max_activations_per_frame]:
+            if sec.colliders:
+                sec.spawns = _append_collider_spawns(sec.spawns, sec.colliders)
+                sec.colliders = []
             n = len(sec.spawns["pos"])
             if int(self._alive.sum()) + n > self.budgets.max_entities:
                 st.rejected_by_entity_budget += 1
@@ -336,9 +354,12 @@ class WorldPartition:
             rest.spawns = {k: v[mid:] for k, v in sp.items()}
             state = self._spawn_on_device(state, first, slots[:mid])
             return self._spawn_on_device(state, rest, slots[mid:])
+        is_collider = sp.get("is_collider")
         mesh_slots = np.asarray(
             [self.asset_resolver("mesh", int(a)) for a in sp["mesh"]], np.int32
         )
+        if is_collider is not None:
+            mesh_slots = np.where(is_collider, -1, mesh_slots)  # invisible
         mat_slots = np.asarray(
             [self.asset_resolver("material", int(a)) for a in sp["material"]], np.int32
         )
@@ -364,6 +385,9 @@ class WorldPartition:
             # Collider + static RigidBody for world geometry)
             "body.body_type": jnp.full((n,), ent.BODY_STATIC, jnp.int32),
             "body.half_extents": jnp.asarray(sp["scale"]) * 0.5,
+            "body.shape": jnp.asarray(
+                sp.get("collider_shape", np.zeros(n, np.int32)), jnp.int32
+            ),
             "components": jnp.full(
                 (n,),
                 ent.C_TRANSFORM
@@ -409,6 +433,35 @@ def _spawn_jit(state, slots, valid, cols):
 @jax.jit
 def _destroy_jit(state, kill):
     return ent.destroy_entities(state, kill)
+
+
+def _append_collider_spawns(spawns: dict, colliders) -> dict:
+    """Authored COLL records become invisible static collision bodies
+    (mesh -1): box/sphere/capsule with the record's size (cpp spawns
+    Collider + static RigidBody for world geometry)."""
+    k = len(colliders)
+    if k == 0:
+        return spawns
+    extra = {
+        key: np.concatenate([arr, np.zeros((k,) + arr.shape[1:], arr.dtype)])
+        for key, arr in spawns.items()
+    }
+    base = len(spawns["pos"])
+    for i, col in enumerate(colliders):
+        extra["pos"][base + i] = col.transform.position
+        extra["rot"][base + i] = col.transform.rotation
+        extra["scale"][base + i] = col.size
+        extra["mesh"][base + i] = 0  # mesh asset 0 -> resolver returns -1 later
+        extra["material"][base + i] = 0
+    extra.setdefault("collider_shape", None)
+    shapes = np.zeros(base + k, np.int32)
+    is_collider = np.zeros(base + k, bool)
+    for i, col in enumerate(colliders):
+        shapes[base + i] = col.shape
+        is_collider[base + i] = True
+    extra["collider_shape"] = shapes
+    extra["is_collider"] = is_collider
+    return extra
 
 
 def _sector_file_to_spawns(sf: wf.SectorFile, config) -> dict:

@@ -214,3 +214,17 @@ def test_lod_tier_a_gets_vehicle_components():
     )
     s4, _ = tlod.traffic_lod_update(s3, jnp.zeros(3), cfg)
     assert not (int(s4.components[0]) & C_VEHICLE)
+
+
+def test_authored_lanes_build():
+    b = tl.LaneGraphBuilder(max_nodes=64, max_segments=32)
+    b.build_authored_for_sector(
+        (0, 0), [[(0.0, 0.0, 8.0), (30.0, 0.0, 8.0), (30.0, 0.0, 40.0)]]
+    )
+    segs = b.lanes_for_sector((0, 0))
+    assert len(segs) == 2  # polyline of 3 points -> 2 chained segments
+    arr = b.to_arrays()
+    # advance walks across the chain corner
+    l2, s2, pos, d, ok = tl.advance_along_lane(arr, jnp.int32(segs[0]), 25.0, 10.0)
+    assert bool(ok) and int(l2) == segs[1]
+    np.testing.assert_allclose(np.asarray(pos), [30.0, 0.0, 13.0], atol=1e-3)

@@ -115,3 +115,48 @@ def test_freeze_streaming_debug_toggle():
     state = pump(wp, state, (0.0, 0.0, 0.0), frames=10)
     assert wp.stats.active_sectors == 0  # frozen: nothing scheduled
     wp.shutdown()
+
+
+def test_authored_colliders_and_lanes_load(tmp_path):
+    root = str(tmp_path)
+    coord = wf.SectorCoord(0, 0)
+    sf = wf.SectorFile(
+        sector=coord,
+        instances=[
+            wf.Instance(
+                id=1,
+                mesh_id=10951067050762278870,
+                material_id=14220093428960559404,
+                transform=wf.Transform((5.0, 1.0, 5.0)),
+                name="Prop",
+            )
+        ],
+        colliders=[
+            wf.ColliderRec(
+                id=2, shape=1,  # sphere
+                transform=wf.Transform((10.0, 0.5, 10.0)),
+                size=(2.0, 2.0, 2.0),
+            )
+        ],
+        lanes=[wf.Lane(id=3, points=[(0, 0, 8), (64, 0, 8)])],
+    )
+    wf.write_sector_file(wf.build_sector_path(root, coord), sf)
+
+    cfg = WorldPartitionConfig(load_radius=0, unload_radius=1)
+    wp = WorldPartition(cfg, StreamingBudgets(), capacity=256, world_root=root)
+    state = st.alloc_entity_state(256)
+    state = pump(wp, state, (1.0, 0.0, 1.0))
+    assert wp.stats.active_sectors == 1
+    assert wp.stats.entities == 2  # prop + collider
+    alive = np.where(np.asarray(state.alive))[0]
+    meshes = np.asarray(state.render.mesh_id)[alive]
+    # the collider entity is invisible (mesh -1) and a sphere shape
+    coll = alive[meshes == -1]
+    assert len(coll) == 1
+    assert int(state.body.shape[coll[0]]) == st.SHAPE_SPHERE
+    np.testing.assert_allclose(
+        np.asarray(state.transform.pos[coll[0]]), [10.0, 0.5, 10.0], atol=1e-6
+    )
+    # authored lanes surfaced for the traffic system
+    assert wp.authored_lanes[(0, 0)] == [[(0.0, 0.0, 8.0), (64.0, 0.0, 8.0)]]
+    wp.shutdown()
