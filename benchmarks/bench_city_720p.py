@@ -41,7 +41,7 @@ def add_box(cx, cz, w, h, d, sub):
                 if sign > 0:
                     tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
                 else:
-                    tris_all += [[k,k+2,k+1],[k,k+3,k+2]]
+                    tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
 
 # 12x12 buildings, subdiv 3 -> 12*12*5*9*2 = 12960 tris... need ~100k: subdiv 5: 12*12*5*25*2 = 36000; 20x20 grid subdiv 4: 20*20*5*16*2=64000; 22x22 sub 4 = 77k; add ground grid
 G = 22
@@ -60,7 +60,7 @@ for i in range(GS):
         lum = 0.25
         for (xx, zz) in [(x0,z0),(x0+16,z0),(x0+16,z0-16),(x0,z0-16)]:
             verts_all.append([xx, 0.0, zz, lum,lum,lum, (xx%16)/16, (zz%16)/16])
-        tris_all += [[k,k+2,k+1],[k,k+3,k+2]]
+        tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
 verts = np.asarray(verts_all, np.float32)
 tris = np.asarray(tris_all, np.int32)
 print("city chunk:", len(tris), "tris", len(verts), "verts", flush=True)

@@ -136,9 +136,34 @@ class WorldPartition:
         lanes = []
         if self.world_root:
             path = wf.build_sector_path(self.world_root, wf.SectorCoord(*coord))
-            sf = wf.read_sector_file(path)
+            # hot path: the native C++ codec parses the instance chunk
+            # straight into SoA arrays; the Python reader still provides the
+            # auxiliary COLL/LANE chunks (and is the full fallback)
+            native_out = None
+            try:
+                with open(path, "rb") as fh:
+                    data = fh.read()
+                from scx import native as scn
+
+                native_out = scn.parse_sector_instances(data)
+            except OSError:
+                data = None
+            if native_out is not None:
+                _, transforms, ids = native_out
+                n = len(transforms)
+                spawns = dict(
+                    pos=transforms[:, 0:3].copy(),
+                    rot=transforms[:, 3:6].copy(),
+                    scale=transforms[:, 6:9].copy(),
+                    mesh=ids[:, 2].copy(),
+                    material=ids[:, 3].copy(),
+                    bmin=np.full((n, 3), -0.5, np.float32),
+                    bmax=np.full((n, 3), 0.5, np.float32),
+                )
+            sf = wf.read_sector_file(path) if data is not None else None
             if sf is not None:
-                spawns = _sector_file_to_spawns(sf, self.config)
+                if spawns is None:
+                    spawns = _sector_file_to_spawns(sf, self.config)
                 colliders = sf.colliders
                 lanes = [
                     [tuple(p) for p in lane.points]
