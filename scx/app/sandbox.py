@@ -370,6 +370,7 @@ class Sandbox:
         t.traffic_physics = int(counts["physics"])
         t.traffic_kinematic = int(counts["kinematic"])
         t.traffic_onrails = int(counts["onrails"])
+        t.traffic_stuck = int(counts.get("stuck", 0))
         if self.spawner is not None:
             t.traffic_spawns = self.spawner.spawns_this_frame
         t.visible = int(self._render_stats["visible"])

@@ -46,6 +46,7 @@ class FrameTelemetry:
     traffic_kinematic: int = 0
     traffic_onrails: int = 0
     traffic_spawns: int = 0
+    traffic_stuck: int = 0
 
     # physics
     bodies_active: int = 0
@@ -104,7 +105,8 @@ class TelemetryHub:
             f"sectors active {t.active_sectors} queued {t.queued_sectors} "
             f"loading {t.loading_sectors}  +{t.stream_activations}/-{t.stream_despawns}",
             f"traffic {t.traffic_total} (A {t.traffic_physics} B "
-            f"{t.traffic_kinematic} C {t.traffic_onrails}) spawns {t.traffic_spawns}",
+            f"{t.traffic_kinematic} C {t.traffic_onrails}) spawns "
+            f"{t.traffic_spawns} stuck {t.traffic_stuck}",
             f"assets {t.resident_textures} tex {t.resident_bytes // 1024} KiB "
             f"evictions {t.texture_evictions}",
         ]

@@ -161,4 +161,7 @@ def tier_counts(state: EntityState):
             (is_agent & (tr.mode == TRAFFIC_KINEMATIC)).astype(jnp.int32)
         ),
         "onrails": jnp.sum((is_agent & (tr.mode == TRAFFIC_ONRAILS)).astype(jnp.int32)),
+        # stuck monitor (sc_traffic_ai.cpp:396-424: wants >2 m/s, moving
+        # <0.2 m/s for over a second)
+        "stuck": jnp.sum((is_agent & (tr.stuck_timer > 1.0)).astype(jnp.int32)),
     }
