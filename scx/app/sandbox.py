@@ -181,7 +181,9 @@ class Sandbox:
     ):
         self.cfg = cfg or EngineConfig()
         self.raster = raster or RasterParams(
-            width=640, height=352, max_tris=32768, max_tris_per_tile=256
+            width=640, height=352, max_tris=32768, max_tris_per_tile=256,
+            # compiled Pallas needs a TPU; CPU sessions get interpret mode
+            interpret=jax.default_backend() == "cpu",
         )
         self.capacity = capacity
         self.state = ent.alloc_entity_state(capacity)
