@@ -56,6 +56,77 @@ class VehicleParams:
 
 
 @struct.dataclass
+class VehicleTuning:
+    """Per-vehicle tuning as traced scalars (or [V] columns before vmap).
+
+    The reference tunes vehicles live per entity (updateVehicleTuning,
+    sc_physics.cpp:970-1013 pushes VehicleComponent fields into the Bullet
+    vehicle every frame).  Here the EntityState vehicle columns are the
+    authoritative store; gather them per chassis with `tuning_gather` and
+    vmap the result through `vehicle_forces`/`smooth_controls` — field
+    names mirror `VehicleParams` so either works as `params`.
+    """
+
+    engine_force: jax.Array
+    max_speed: jax.Array
+    brake_force: jax.Array
+    handbrake_force: jax.Array
+    max_steer: jax.Array
+    steer_response: jax.Array
+    susp_rest: jax.Array
+    susp_stiffness: jax.Array
+    damp_compression: jax.Array
+    damp_relaxation: jax.Array
+    wheel_radius: jax.Array
+    friction_slip: jax.Array
+    roll_influence: jax.Array
+
+
+def tuning_gather(vehicle_state, idx) -> VehicleTuning:
+    """Gather the per-entity tuning columns at `idx` (any index shape)."""
+    vs = vehicle_state
+    return VehicleTuning(
+        engine_force=vs.engine_force[idx],
+        max_speed=vs.max_speed[idx],
+        brake_force=vs.brake_force[idx],
+        handbrake_force=vs.handbrake_force[idx],
+        max_steer=vs.max_steer[idx],
+        steer_response=vs.steer_response[idx],
+        susp_rest=vs.susp_rest[idx],
+        susp_stiffness=vs.susp_stiff[idx],
+        damp_compression=vs.damp_comp[idx],
+        damp_relaxation=vs.damp_relax[idx],
+        wheel_radius=vs.wheel_radius[idx],
+        friction_slip=vs.friction_slip[idx],
+        roll_influence=vs.roll_influence[idx],
+    )
+
+
+def set_vehicle_tuning(state, idx, params: VehicleParams):
+    """Write a VehicleParams preset into one entity's tuning columns —
+    the live-tuning entry point (slider → updateVehicleTuning parity)."""
+    vs = state.vehicle
+    return state.replace(
+        vehicle=vs.replace(
+            mass=vs.mass.at[idx].set(params.mass),
+            engine_force=vs.engine_force.at[idx].set(params.engine_force),
+            max_speed=vs.max_speed.at[idx].set(params.max_speed),
+            brake_force=vs.brake_force.at[idx].set(params.brake_force),
+            handbrake_force=vs.handbrake_force.at[idx].set(params.handbrake_force),
+            max_steer=vs.max_steer.at[idx].set(params.max_steer),
+            steer_response=vs.steer_response.at[idx].set(params.steer_response),
+            susp_rest=vs.susp_rest.at[idx].set(params.susp_rest),
+            susp_stiff=vs.susp_stiff.at[idx].set(params.susp_stiffness),
+            damp_comp=vs.damp_comp.at[idx].set(params.damp_compression),
+            damp_relax=vs.damp_relax.at[idx].set(params.damp_relaxation),
+            wheel_radius=vs.wheel_radius.at[idx].set(params.wheel_radius),
+            friction_slip=vs.friction_slip.at[idx].set(params.friction_slip),
+            roll_influence=vs.roll_influence.at[idx].set(params.roll_influence),
+        )
+    )
+
+
+@struct.dataclass
 class WheelConfig:
     """Per-wheel geometry, chassis-local relative to COM."""
 

@@ -25,6 +25,7 @@ from scx.physics.vehicle import (
     VehicleParams,
     WheelConfig,
     smooth_controls,
+    tuning_gather,
     vehicle_forces,
     vehicle_speed_ms,
 )
@@ -106,7 +107,13 @@ def physics_sync_step(
     vparams: VehicleParams,
     dt,
 ) -> EntityState:
-    """One fixed step: vehicle pre-step -> solver step -> write back."""
+    """One fixed step: vehicle pre-step -> solver step -> write back.
+
+    `vparams` supplies the static bits only (wheel_width for geometry
+    helpers); the dynamic tuning each vehicle drives with comes from its
+    own EntityState columns (per-entity live tuning, updateVehicleTuning
+    parity — sc_physics.cpp:970-1013)."""
+    del vparams  # per-entity tuning columns are authoritative
     bodies = bodies_from_state(state)
 
     slots, valid = vehicle_slots(state)
@@ -117,19 +124,20 @@ def physics_sync_step(
     # lane by XLA (42 GB at RL batch sizes)
     safe_slots = jnp.minimum(slots, state.capacity - 1)
     iw_chassis = _iiw(bodies)[safe_slots]
+    tune = tuning_gather(state.vehicle, safe_slots)  # [V]-column pytree
 
-    def one_vehicle(slot, ok, iw_c):
+    def one_vehicle(slot, ok, iw_c, tn):
         safe = jnp.minimum(slot, state.capacity - 1)  # gather index
         speed = vehicle_speed_ms(bodies, safe)
         sm, engine, brake, steer, hb = smooth_controls(
-            state.vehicle.smoothed[safe], state.vehicle.input[safe], vparams, speed, dt
+            state.vehicle.smoothed[safe], state.vehicle.input[safe], tn, speed, dt
         )
         wheels = WheelConfig(
             conn=state.vehicle.wheel_conn[safe],
             front=jnp.asarray([True, True, False, False]),
         )
         dv, dw, rt = vehicle_forces(
-            bodies, safe, wheels, engine, brake, steer, hb, vparams, dt,
+            bodies, safe, wheels, engine, brake, steer, hb, tn, dt,
             iw_all=iw_c,
         )
         z = jnp.where(ok, 1.0, 0.0)
@@ -138,7 +146,7 @@ def physics_sync_step(
         scatter = jnp.where(ok, safe, state.capacity)
         return scatter, dv * z, dw * z, sm, rt
 
-    v_idx, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid, iw_chassis)
+    v_idx, v_dv, v_dw, v_sm, v_rt = jax.vmap(one_vehicle)(slots, valid, iw_chassis, tune)
     bodies = bodies.replace(
         vel=bodies.vel.at[v_idx].add(v_dv, mode="drop"),
         omega=bodies.omega.at[v_idx].add(v_dw, mode="drop"),

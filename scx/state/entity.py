@@ -126,6 +126,8 @@ class VehicleState:
     damp_comp: jax.Array       # [N]
     damp_relax: jax.Array      # [N]
     wheel_radius: jax.Array    # [N]
+    friction_slip: jax.Array   # [N]
+    roll_influence: jax.Array  # [N]
     # raw input (throttle, brake, steer, handbrake) and smoothed controls
     input: jax.Array           # [N,4]
     smoothed: jax.Array        # [N,4]
@@ -222,6 +224,8 @@ def alloc_entity_state(capacity: int) -> EntityState:
             damp_comp=jnp.full((n,), 2.3, jnp.float32),
             damp_relax=jnp.full((n,), 4.4, jnp.float32),
             wheel_radius=jnp.full((n,), 0.35, jnp.float32),
+            friction_slip=jnp.full((n,), 1.2, jnp.float32),
+            roll_influence=jnp.full((n,), 0.1, jnp.float32),
             input=jnp.zeros((n, 4), jnp.float32),
             smoothed=jnp.zeros((n, 4), jnp.float32),
             wheel_conn=jnp.zeros((n, 4, 3), jnp.float32),

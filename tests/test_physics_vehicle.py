@@ -108,3 +108,60 @@ def test_smooth_controls_mapping():
     )
     assert float(engine2) == 0.0  # cutoff above max speed
     assert abs(float(steer2) - params.max_steer * 0.2) < 0.01
+
+
+def test_per_vehicle_tuning_columns():
+    """Per-entity tuning columns drive the solver: a car tuned with double
+    engine force (set_vehicle_tuning, updateVehicleTuning parity
+    sc_physics.cpp:970-1013) pulls ahead of a stock one in the SAME jitted
+    step — no recompile for live tuning."""
+    from scx.app.sandbox import spawn_player_vehicle
+    from scx.physics.world import physics_sync_step
+    from scx.state import entity as ent
+
+    st = ent.alloc_entity_state(16)
+    st = st.replace(
+        alive=st.alive.at[0].set(True),
+        components=st.components.at[0].set(
+            ent.C_TRANSFORM | ent.C_COLLIDER | ent.C_RIGID_BODY
+        ),
+        transform=st.transform.replace(
+            pos=st.transform.pos.at[0].set(jnp.asarray([0.0, -0.55, 0.0]))
+        ),
+        body=st.body.replace(
+            body_type=st.body.body_type.at[0].set(ent.BODY_STATIC),
+            half_extents=st.body.half_extents.at[0].set(
+                jnp.asarray([64.0, 0.05, 64.0])
+            ),
+        ),
+    )
+    st = spawn_player_vehicle(st, 1, pos=(-4.0, 0.6, 0.0))
+    st = spawn_player_vehicle(st, 2, pos=(4.0, 0.6, 0.0))
+    # car 2 governed to 6 m/s (engine cutoff above max_speed)
+    st = vh.set_vehicle_tuning(st, 2, vh.VehicleParams(max_speed=6.0))
+
+    inp = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    st = st.replace(
+        vehicle=st.vehicle.replace(
+            input=st.vehicle.input.at[1].set(inp).at[2].set(inp)
+        )
+    )
+
+    dt = 1.0 / 60.0
+    solver = ph.SolverParams(max_pairs=128, dt=dt)
+    step = jax.jit(
+        lambda s: physics_sync_step(s, solver, vh.VehicleParams(), dt)
+    )
+    for _ in range(150):
+        st = step(st)
+
+    v1 = float(st.body.vel[1, 2])
+    v2 = float(st.body.vel[2, 2])
+    assert v1 > 10.0, v1          # stock car well past the governed speed
+    assert v2 < 7.5, v2           # governed car capped near its max_speed
+    assert float(st.transform.pos[1, 2]) > 0.5
+
+    # live re-tune back to stock flows through without recompile
+    st = vh.set_vehicle_tuning(st, 2, vh.VehicleParams())
+    st = step(st)
+    assert float(vh.tuning_gather(st.vehicle, 2).engine_force) == 8000.0
