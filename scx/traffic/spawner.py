@@ -97,6 +97,20 @@ class TrafficSpawner:
             lane_ids = lanes.lanes_for_sector(coord)
             if not lane_ids or desired_per_sector == 0:
                 continue
+            # authored spawn points (SPWN chunk, type 0) get first shot at
+            # placement; the reference only round-trips these records
+            # (tools/shared/world_format.cpp:150-158, editor-authored) —
+            # consuming them as preferred traffic spawn points is an scx
+            # runtime extension
+            authored_pts = []
+            for spw in getattr(partition, "authored_spawners", {}).get(coord, []):
+                if getattr(spw, "type", 0) != 0:
+                    continue
+                snapped = self._snap_to_lane(
+                    lanes, lane_ids, np.asarray(spw.transform.position, np.float64)
+                )
+                if snapped is not None:
+                    authored_pts.append(snapped)
             current = len(agents_here)
             if current >= desired_per_sector:
                 continue
@@ -115,7 +129,24 @@ class TrafficSpawner:
                     self.reject_sector_limit += 1
                     break
                 placed = None
-                for _attempt in range(cfg.max_placement_attempts):
+                while authored_pts and placed is None:
+                    lane_id, lane_s, pos, d = authored_pts.pop(0)
+                    self.attempts_this_frame += 1
+                    if lane_id in spawned_lanes:
+                        self.reject_lane_per_frame += 1
+                        continue
+                    if not self._lane_has_gap(snap, lane_id, lane_s):
+                        self.reject_lane_gap += 1
+                        continue
+                    if self._occupied(snap, pos, player_pos):
+                        self.reject_occupied += 1
+                        continue
+                    dx = pos[0] - player_pos[0]
+                    dz = pos[2] - player_pos[2]
+                    if dx * dx + dz * dz <= excl_sq:
+                        continue
+                    placed = (lane_id, float(lane_s), pos, d)
+                for _attempt in range(0 if placed else cfg.max_placement_attempts):
                     self.attempts_this_frame += 1
                     li = int(rng.next() * len(lane_ids)) % len(lane_ids)
                     lane_id = lane_ids[li]
@@ -160,6 +191,26 @@ class TrafficSpawner:
 
         state = self._apply(state, partition, pending, dead_slots)
         return state
+
+    def _snap_to_lane(self, lanes, lane_ids, p):
+        """Nearest point on the sector's lanes to an authored spawn point.
+        Returns (lane_id, lane_s, pos, dir) or None."""
+        best = None
+        for lid in lane_ids:
+            seg = lanes.segments[lid]
+            if not seg["active"] or seg["length"] <= 1e-4:
+                continue
+            start = np.asarray(lanes.nodes[seg["start"]]["pos"], np.float64)
+            d = np.asarray(seg["dir"], np.float64)
+            s = float(np.clip(np.dot(p - start, d), 0.0, seg["length"]))
+            q = start + d * s
+            q[1] = 0.35
+            dd = float((p[0] - q[0]) ** 2 + (p[2] - q[2]) ** 2)
+            if best is None or dd < best[0]:
+                best = (dd, lid, s, q, d)
+        if best is None:
+            return None
+        return (best[1], best[2], best[3], best[4])
 
     def _lane_has_gap(self, snap, lane_id, lane_s):
         """Min 15m arclength gap to agents on the same lane (cpp:42-66)."""

@@ -110,6 +110,11 @@ class WorldPartition:
         self._in_flight = 0
         self._despawn_queue: list[int] = []
         self.authored_lanes: dict[tuple, list] = {}  # coord -> [[(x,y,z)...]]
+        # coord -> [wf.Spawner]: authored spawn points (SPWN chunk). The
+        # reference runtime never consumes these (only its editor/format
+        # round-trips them, tools/shared/world_format.cpp:150-158); exposed
+        # here so the traffic spawner can prefer authored points.
+        self.authored_spawners: dict[tuple, list] = {}
         self.stats = StreamingStats()
         self.frozen = False  # debug: freeze streaming (sc_world_partition.h:325)
 
@@ -134,6 +139,7 @@ class WorldPartition:
         spawns = None
         colliders = []
         lanes = []
+        spawners = []
         if self.world_root:
             path = wf.build_sector_path(self.world_root, wf.SectorCoord(*coord))
             # hot path: the native C++ codec parses the instance chunk
@@ -170,10 +176,11 @@ class WorldPartition:
                     for lane in sf.lanes
                     if len(lane.points) >= 2
                 ]
+                spawners = sf.spawners
         if spawns is None:
             recs = procgen.generate_sector_spawns(self.config, coord[0], coord[1])
             spawns = procgen.spawns_to_arrays(recs)
-        self._completed.put((coord, request_id, spawns, colliders, lanes))
+        self._completed.put((coord, request_id, spawns, colliders, lanes, spawners))
 
     def _priority(self, coord, cam_sector, cam_fwd, bias_weight, use_bias):
         dx = coord[0] - cam_sector[0]
@@ -282,7 +289,7 @@ class WorldPartition:
         # pump completed loads (staleness check, cpp:854-858)
         while True:
             try:
-                coord, request_id, spawns, colliders, lanes = (
+                coord, request_id, spawns, colliders, lanes, spawners = (
                     self._completed.get_nowait()
                 )
             except queue.Empty:
@@ -296,6 +303,7 @@ class WorldPartition:
             sec.spawns = spawns
             sec.colliders = colliders
             self.authored_lanes[coord] = lanes
+            self.authored_spawners[coord] = spawners
             sec.state = SectorState.READY_TO_ACTIVATE
 
         # budgeted activation, nearest first (cpp:839-966)

@@ -228,3 +228,47 @@ def test_authored_lanes_build():
     l2, s2, pos, d, ok = tl.advance_along_lane(arr, jnp.int32(segs[0]), 25.0, 10.0)
     assert bool(ok) and int(l2) == segs[1]
     np.testing.assert_allclose(np.asarray(pos), [30.0, 0.0, 13.0], atol=1e-3)
+
+
+def test_authored_spawn_points_preferred(tmp_path):
+    """A sector's SPWN records (type 0) are used as traffic spawn points
+    before random lane placement — the first agent lands at the authored
+    point snapped to the authored lane."""
+    import time
+
+    from scx.world import format as wf
+
+    root = str(tmp_path)
+    coord = wf.SectorCoord(0, 0)
+    sf = wf.SectorFile(
+        sector=coord,
+        lanes=[wf.Lane(id=1, points=[(0.0, 0.0, 8.0), (64.0, 0.0, 8.0)])],
+        spawners=[
+            wf.Spawner(id=2, transform=wf.Transform((20.0, 0.0, 9.0)), type=0)
+        ],
+    )
+    wf.write_sector_file(wf.build_sector_path(root, coord), sf)
+
+    wcfg = WorldPartitionConfig(load_radius=0, unload_radius=1)
+    wp = WorldPartition(
+        wcfg, StreamingBudgets(), capacity=512, world_root=root
+    )
+    state = st.alloc_entity_state(512)
+    for _ in range(20):
+        state = wp.update(state, (32.0, 0.0, 32.0), (0.0, 0.0, -1.0))
+        time.sleep(0.01)
+        if wp.stats.active_sectors:
+            break
+    assert wp.authored_spawners[(0, 0)][0].transform.position == (20.0, 0.0, 9.0)
+
+    lanes = tl.LaneGraphBuilder(max_nodes=128, max_segments=64)
+    sp = TrafficSpawner(TrafficConfig(density_per_km2=250.0), wcfg)
+    state = sp.update(state, wp, lanes, (1000.0, 0.0, 1000.0))
+    snap = snapshot_agents(state)
+    agents = np.where(snap["alive_agent"])[0]
+    assert len(agents) >= 1
+    pos = snap["pos"][agents]
+    # one agent snapped onto the authored lane at the spawner's arclength
+    d = np.abs(pos - np.asarray([20.0, 0.35, 8.0])).max(-1)
+    assert d.min() < 1e-3, pos
+    wp.shutdown()
