@@ -224,6 +224,10 @@ class Sandbox:
         )
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
         self._render = jax.jit(self._render_impl)
+        from scx.render.debug_draw import DebugDraw, overlay_lines
+
+        self.debug = DebugDraw(capacity=2048)
+        self._overlay = jax.jit(overlay_lines)
         self._lane_arrays = None
         self.cam_pos = jnp.asarray([0.0, 5.0, -12.0])
         self.frame_no = 0
@@ -279,7 +283,7 @@ class Sandbox:
             draws, self.mesh_pool, vp, self.raster, materials, textures
         )
         stats["visible"] = jnp.sum(visible.astype(jnp.int32))
-        return rgb, stats
+        return rgb, stats, gbuf["depth"], vp
 
     # --- systems (reference names; run by the scheduler) ----------------
     def _sys_player_input(self, ctx):
@@ -349,7 +353,7 @@ class Sandbox:
 
     def _sys_render(self, ctx):
         t0 = time.perf_counter()
-        self._frame_rgb, self._render_stats = self._render(
+        self._frame_rgb, self._render_stats, depth, vp = self._render(
             self.state,
             self.cam_pos,
             self._cam_target,
@@ -357,6 +361,13 @@ class Sandbox:
             self.assets.device_materials(),
             self.assets.device_pool(),
         )
+        # immediate-mode debug lines accumulated since last frame
+        # (DebugDrawSystem runs after the scene pass, sc_imgui.cpp overlay)
+        if self.debug.count:
+            self._frame_rgb = self._overlay(
+                self._frame_rgb, depth, vp, *self.debug.arrays()
+            )
+            self.debug.clear()
         self.telemetry.current.render_ms = (time.perf_counter() - t0) * 1e3
 
     def _sys_telemetry(self, ctx):

@@ -56,3 +56,21 @@ def test_frame_is_rendered(sandbox):
 def test_debug_overlay_formats(sandbox):
     text = sandbox.telemetry.format_overlay()
     assert "entities" in text and "traffic" in text and "sectors" in text
+
+
+def test_debug_lines_overlay_in_frame(sandbox):
+    """Immediate-mode debug lines drawn by Sandbox.frame and cleared after."""
+    ppos = np.asarray(sandbox.state.transform.pos[sandbox.player_slot])
+    # magenta line floating above the player, crossing the chase-cam view
+    a = (float(ppos[0]) - 15.0, float(ppos[1]) + 2.0, float(ppos[2]))
+    b = (float(ppos[0]) + 15.0, float(ppos[1]) + 2.0, float(ppos[2]))
+    sandbox.debug.add_line(a, b, color=(1.0, 0.0, 1.0))
+    rgb, _ = sandbox.frame()
+    px = np.asarray(rgb).reshape(-1, 3)
+    magenta = (px[:, 0] > 0.9) & (px[:, 1] < 0.1) & (px[:, 2] > 0.9)
+    assert magenta.any()
+    assert sandbox.debug.count == 0  # cleared after the frame
+    # next frame has no overlay
+    rgb2, _ = sandbox.frame()
+    px2 = np.asarray(rgb2).reshape(-1, 3)
+    assert not ((px2[:, 0] > 0.9) & (px2[:, 1] < 0.1) & (px2[:, 2] > 0.9)).any()
