@@ -8,6 +8,12 @@ Implementation is brute-force over the body arrays — for N <= a few hundred
 bodies this is one fused VPU pass and beats any tree. Rays broadcast, so
 vmapping a [R,3] bundle of rays costs one pass too (traffic sensors cast all
 their rays at once).
+
+TPU shape note: all per-body math runs in COLUMN form — [N] arrays per
+x/y/z component instead of [N,3] vectors.  A trailing dim of 3 pads to a
+(8,128) vreg tile (42x waste), and under the outer vmaps that stack here
+(wheel x vehicle x env) those pads multiply into the dominant sim cost.
+With columns the body axis is the lane axis, which is what the VPU wants.
 """
 
 from __future__ import annotations
@@ -31,92 +37,100 @@ class RayHit:
     normal: jax.Array  # [3]
 
 
-def _ray_sphere(o, d, center, radius, inflate=0.0):
-    r = radius + inflate
-    oc = o - center
-    b = m3.dot(oc, d)
-    c = m3.dot(oc, oc) - r * r
+def _rot_cols(qw, qx, qy, qz, vx, vy, vz):
+    """Rotate column vectors (vx,vy,vz) by quaternions (w,x,y,z) —
+    v' = v + w*t + q.xyz x t with t = 2 (q.xyz x v), all scalar columns."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    rx = vx + qw * tx + (qy * tz - qz * ty)
+    ry = vy + qw * ty + (qz * tx - qx * tz)
+    rz = vz + qw * tz + (qx * ty - qy * tx)
+    return rx, ry, rz
+
+
+def _ray_sphere_cols(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+    """Columns: ray vs sphere centers; returns (t, nx, ny, nz)."""
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
     disc = b * b - c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t = -b - sq
     hit = (disc >= 0.0) & (t >= 0.0)
     t = jnp.where(hit, t, _BIG)
-    p = o + d * t
-    n = m3.safe_normalize(p - center, jnp.asarray([0.0, 1.0, 0.0]))
-    return t, n
+    px, py, pz = ox + dx * t - cx, oy + dy * t - cy, oz + dz * t - cz
+    inv = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-12))
+    return t, px * inv, py * inv, pz * inv
 
 
-def _ray_box_local(o, d, h):
-    """Slab test in box local frame; returns (t, normal_local)."""
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d < 0, -1e-9, 1e-9), d)
-    t1 = (-h - o) * inv
-    t2 = (h - o) * inv
-    tmin_ax = jnp.minimum(t1, t2)
-    tmax_ax = jnp.maximum(t1, t2)
-    tmin = jnp.max(tmin_ax, axis=-1)
-    tmax = jnp.min(tmax_ax, axis=-1)
-    hit = (tmax >= jnp.maximum(tmin, 0.0))
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d < 0, -1e-9, 1e-9), d)
+
+
+def _ray_box_local_cols(ox, oy, oz, dx, dy, dz, hx, hy, hz):
+    """Slab test in box local frames; returns (t, local normal columns)."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t1x, t2x = (-hx - ox) * ix, (hx - ox) * ix
+    t1y, t2y = (-hy - oy) * iy, (hy - oy) * iy
+    t1z, t2z = (-hz - oz) * iz, (hz - oz) * iz
+    tminx, tmaxx = jnp.minimum(t1x, t2x), jnp.maximum(t1x, t2x)
+    tminy, tmaxy = jnp.minimum(t1y, t2y), jnp.maximum(t1y, t2y)
+    tminz, tmaxz = jnp.minimum(t1z, t2z), jnp.maximum(t1z, t2z)
+    tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
+    tmax = jnp.minimum(tmaxx, jnp.minimum(tmaxy, tmaxz))
+    hit = tmax >= jnp.maximum(tmin, 0.0)
     t = jnp.where(tmin >= 0.0, tmin, tmax)  # inside the box -> exit point
     t = jnp.where(hit, t, _BIG)
-    # normal: axis where tmin is achieved, sign opposite the ray
-    axis = jnp.argmax((tmin_ax == tmin[..., None]).astype(jnp.int32), axis=-1)
-    n = jax.nn.one_hot(axis, 3, dtype=o.dtype) * -jnp.sign(
-        jnp.take_along_axis(d, axis[..., None], axis=-1)
-    )
-    return t, n
+    # entry axis = the slab achieving tmin (x wins ties like argmax did)
+    on_x = tminx == tmin
+    on_y = ~on_x & (tminy == tmin)
+    on_z = ~on_x & ~on_y
+    nx = jnp.where(on_x, -jnp.sign(dx), 0.0)
+    ny = jnp.where(on_y, -jnp.sign(dy), 0.0)
+    nz = jnp.where(on_z, -jnp.sign(dz), 0.0)
+    return t, nx, ny, nz
 
 
-def _ray_capsule(o, d, pos, quat, size, inflate=0.0):
-    """Ray vs capsule: cylinder quadratic + cap spheres (local frame, Y axis)."""
-    r = size[0] + inflate
-    hh = size[1]
-    ol = m3.quat_rotate(m3.quat_conj(quat), o - pos)
-    dl = m3.quat_rotate(m3.quat_conj(quat), d)
-    # infinite cylinder around Y: (ox+t dx)^2 + (oz+t dz)^2 = r^2
-    a = dl[0] * dl[0] + dl[2] * dl[2]
-    b = ol[0] * dl[0] + ol[2] * dl[2]
-    c = ol[0] * ol[0] + ol[2] * ol[2] - r * r
+def _ray_capsule_local_cols(ox, oy, oz, dx, dy, dz, r, hh):
+    """Ray vs Y-axis capsules in local frames: cylinder quadratic + cap
+    spheres; returns (t, local normal columns)."""
+    a = dx * dx + dz * dz
+    b = ox * dx + oz * dz
+    c = ox * ox + oz * oz - r * r
     disc = b * b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_cyl = (-b - sq) / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
-    y_at = ol[1] + t_cyl * dl[1]
+    y_at = oy + t_cyl * dy
     cyl_ok = (disc >= 0.0) & (t_cyl >= 0.0) & (jnp.abs(y_at) <= hh) & (a > 1e-12)
     t_cyl = jnp.where(cyl_ok, t_cyl, _BIG)
-    n_cyl = m3.safe_normalize(
-        jnp.asarray([1.0, 0.0, 1.0]) * (ol + dl * t_cyl), jnp.asarray([0.0, 1.0, 0.0])
+    cnx, cnz = ox + dx * t_cyl, oz + dz * t_cyl
+    inv = 1.0 / jnp.sqrt(jnp.maximum(cnx * cnx + cnz * cnz, 1e-12))
+    n_cyl = (cnx * inv, jnp.zeros_like(cnx), cnz * inv)
+
+    zero = jnp.zeros_like(oy)
+    t_top, tnx, tny, tnz = _ray_sphere_cols(
+        ox, oy, oz, dx, dy, dz, zero, zero + hh, zero, r
     )
-    # cap spheres; pick the nearest candidate with pairwise selects (a
-    # stacked argmin materializes a [batch..., 3, 3] tensor under vmap —
-    # 40 GB at RL fleet sizes)
-    top = jnp.asarray([0.0, 1.0, 0.0]) * hh
-    t_top, n_top = _ray_sphere(ol, dl, top, r)
-    t_bot, n_bot = _ray_sphere(ol, dl, -top, r)
-    t = t_cyl
-    n_local = n_cyl
+    t_bot, bnx, bny, bnz = _ray_sphere_cols(
+        ox, oy, oz, dx, dy, dz, zero, zero - hh, zero, r
+    )
+    t, (nx, ny, nz) = t_cyl, n_cyl
     better = t_top < t
-    n_local = jnp.where(better, n_top, n_local)
+    nx, ny, nz = (
+        jnp.where(better, tnx, nx),
+        jnp.where(better, tny, ny),
+        jnp.where(better, tnz, nz),
+    )
     t = jnp.where(better, t_top, t)
     better = t_bot < t
-    n_local = jnp.where(better, n_bot, n_local)
+    nx, ny, nz = (
+        jnp.where(better, bnx, nx),
+        jnp.where(better, bny, ny),
+        jnp.where(better, bnz, nz),
+    )
     t = jnp.where(better, t_bot, t)
-    return t, m3.quat_rotate(quat, n_local)
-
-
-def _ray_one_body(o, d, pos, quat, shape, size, inflate):
-    # box (optionally inflated — used by sphere_cast; corners not rounded)
-    ol = m3.quat_rotate(m3.quat_conj(quat), o - pos)
-    dl = m3.quat_rotate(m3.quat_conj(quat), d)
-    t_box, n_box_l = _ray_box_local(ol, dl, size + inflate)
-    n_box = m3.quat_rotate(quat, n_box_l)
-    t_sph, n_sph = _ray_sphere(o, d, pos, size[0], inflate)
-    t_cap, n_cap = _ray_capsule(o, d, pos, quat, size, inflate)
-    t = jnp.where(
-        shape == SHAPE_BOX, t_box, jnp.where(shape == SHAPE_SPHERE, t_sph, t_cap)
-    )
-    n = jnp.where(
-        shape == SHAPE_BOX, n_box, jnp.where(shape == SHAPE_SPHERE, n_sph, n_cap)
-    )
-    return t, n
+    return t, nx, ny, nz
 
 
 def raycast(
@@ -139,9 +153,46 @@ def raycast(
 
     from scx.physics.rigid import shape_centers
 
-    t, n = jax.vmap(
-        lambda p, q, s, z: _ray_one_body(o, d, p, q, s, z, inflate)
-    )(shape_centers(bodies), bodies.quat, bodies.shape, bodies.size)
+    centers = shape_centers(bodies)
+    cx, cy, cz = centers[:, 0], centers[:, 1], centers[:, 2]
+    qw, qx, qy, qz = (
+        bodies.quat[:, 0], bodies.quat[:, 1], bodies.quat[:, 2], bodies.quat[:, 3]
+    )
+    sx, sy, sz = bodies.size[:, 0], bodies.size[:, 1], bodies.size[:, 2]
+
+    # ray into each body's local frame (conjugate rotation = negate q.xyz)
+    olx, oly, olz = _rot_cols(qw, -qx, -qy, -qz, o[0] - cx, o[1] - cy, o[2] - cz)
+    dlx, dly, dlz = _rot_cols(
+        qw, -qx, -qy, -qz,
+        jnp.broadcast_to(d[0], cx.shape),
+        jnp.broadcast_to(d[1], cx.shape),
+        jnp.broadcast_to(d[2], cx.shape),
+    )
+
+    t_box, bnx, bny, bnz = _ray_box_local_cols(
+        olx, oly, olz, dlx, dly, dlz, sx + inflate, sy + inflate, sz + inflate
+    )
+    t_cap, knx, kny, knz = _ray_capsule_local_cols(
+        olx, oly, olz, dlx, dly, dlz, sx + inflate, sy
+    )
+    t_sph, snx, sny, snz = _ray_sphere_cols(
+        jnp.broadcast_to(o[0], cx.shape),
+        jnp.broadcast_to(o[1], cx.shape),
+        jnp.broadcast_to(o[2], cx.shape),
+        d[0], d[1], d[2], cx, cy, cz, sx + inflate,
+    )
+
+    is_box = bodies.shape == SHAPE_BOX
+    is_sph = bodies.shape == SHAPE_SPHERE
+    t = jnp.where(is_box, t_box, jnp.where(is_sph, t_sph, t_cap))
+    # box/capsule normals are local -> rotate to world; sphere already world
+    lnx = jnp.where(is_box, bnx, knx)
+    lny = jnp.where(is_box, bny, kny)
+    lnz = jnp.where(is_box, bnz, knz)
+    wnx, wny, wnz = _rot_cols(qw, qx, qy, qz, lnx, lny, lnz)
+    nx = jnp.where(is_sph, snx, wnx)
+    ny = jnp.where(is_sph, sny, wny)
+    nz = jnp.where(is_sph, snz, wnz)
 
     qm = jnp.asarray(query_mask, jnp.uint32)
     ok = (
@@ -159,7 +210,11 @@ def raycast(
         t=jnp.where(hit, best_t, max_t),
         body=jnp.where(hit, idx.astype(jnp.int32), -1),
         point=o + d * jnp.where(hit, best_t, max_t),
-        normal=jnp.where(hit, n[idx], jnp.asarray([0.0, 1.0, 0.0])),
+        normal=jnp.where(
+            hit,
+            jnp.stack([nx[idx], ny[idx], nz[idx]]),
+            jnp.asarray([0.0, 1.0, 0.0]),
+        ),
     )
 
 
