@@ -49,7 +49,20 @@ def main():
     rate = n_envs * steps / dt
     print(
         f"{rate:,.0f} env-steps/s with {obs_size}x{obs_size} RGB-D "
-        f"({steps} steps x {n_envs} envs in {dt:.2f}s)",
+        f"({steps} steps x {n_envs} envs in {dt:.2f}s, obs to host each step)",
+        flush=True,
+    )
+
+    # device-resident rollout: obs consumed on chip (policy-on-chip shape)
+    aux = env.rollout(actions, length=steps)
+    jax.block_until_ready(aux)
+    t0 = time.time()
+    aux = env.rollout(actions, length=steps)
+    jax.block_until_ready(aux)
+    dt = time.time() - t0
+    print(
+        f"{n_envs * steps / dt:,.0f} env-steps/s device-chained "
+        f"(obs consumed on device)",
         flush=True,
     )
 

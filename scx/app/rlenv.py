@@ -81,6 +81,7 @@ class CityRLEnv:
         self.lanes = lanes.to_arrays()
 
         self._step_jit = jax.jit(self._step_impl)
+        self._rollout_jit = None
         self.state = self._build_batch()
 
     # ------------------------------------------------------------------
@@ -243,3 +244,27 @@ class CityRLEnv:
             self.state, jnp.asarray(actions, jnp.float32)
         )
         return obs, reward
+
+    def _rollout_impl(self, batch, actions, length):
+        def body(b, _):
+            b, obs, rew = self._step_impl(b, actions)
+            # obs consumed on device (policy stand-in): per-env mean pool
+            return b, (jnp.mean(obs, axis=(1, 2, 3)), rew)
+
+        return jax.lax.scan(body, batch, None, length=length)
+
+    def rollout(self, actions, length: int = 10):
+        """Device-chained rollout: `length` full steps (sim + traffic +
+        render) inside ONE jit, observations consumed on device.
+
+        This is the deployment shape when the policy lives on the same
+        chip (obs never cross the host link); `step()` pays a host
+        round-trip per call, which dominates through remote/tunneled
+        device transports. Returns (obs_means [L,N], rewards [L,N]).
+        """
+        if self._rollout_jit is None:
+            self._rollout_jit = jax.jit(self._rollout_impl, static_argnums=2)
+        self.state, aux = self._rollout_jit(
+            self.state, jnp.asarray(actions, jnp.float32), length
+        )
+        return aux

@@ -28,10 +28,14 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     lo = lo - margin
     hi = hi + margin
 
-    overlap = jnp.all(
-        (lo[:, None, :] <= hi[None, :, :]) & (lo[None, :, :] <= hi[:, None, :]),
-        axis=-1,
-    )
+    # per-axis overlap on [N,N] matrices — an [N,N,3] temporary pads its
+    # trailing dim to 128 lanes (42x) and dominates the step under an env
+    # vmap; three column matrices stay dense
+    def axis_overlap(k):
+        l, h = lo[:, k], hi[:, k]
+        return (l[:, None] <= h[None, :]) & (l[None, :] <= h[:, None])
+
+    overlap = axis_overlap(0) & axis_overlap(1) & axis_overlap(2)
 
     dyn = bodies.inv_mass > 0
     either_dyn = dyn[:, None] | dyn[None, :]
@@ -41,23 +45,27 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     act = bodies.active
     both_active = act[:, None] & act[None, :]
 
-    iu = jnp.triu_indices(n, k=1)
-    flat_i = iu[0].astype(jnp.int32)
-    flat_j = iu[1].astype(jnp.int32)
-    valid = (overlap & either_dyn & layer_ok & both_active)[flat_i, flat_j]
+    # upper triangle as an iota mask on the flattened matrix (a triu-index
+    # gather costs N^2/2 row-gathers on TPU)
+    flat = jnp.arange(n * n, dtype=jnp.int32)
+    flat_i = flat // n
+    flat_j = flat - flat_i * n
+    valid = (
+        (overlap & either_dyn & layer_ok & both_active).reshape(n * n)
+        & (flat_i < flat_j)
+    )
 
-    # compaction by scatter: the k-th valid pair writes itself into slot k
-    # (ranks are unique, deterministic pair order preserved; argsort-based
-    # compaction is far slower on TPU)
+    # compaction by scatter: the k-th valid pair writes its flat index into
+    # slot k (ranks are unique, deterministic pair order preserved; one
+    # scatter carries both endpoints — argsort compaction is far slower)
     rank = jnp.cumsum(valid.astype(jnp.int32))
     pos = jnp.where(valid, rank - 1, max_pairs)
     pos = jnp.minimum(pos, max_pairs)
-    ia = (
-        jnp.zeros(max_pairs + 1, jnp.int32).at[pos].set(flat_i, mode="drop")[:max_pairs]
+    kflat = (
+        jnp.zeros(max_pairs + 1, jnp.int32).at[pos].set(flat, mode="drop")[:max_pairs]
     )
-    ib = (
-        jnp.zeros(max_pairs + 1, jnp.int32).at[pos].set(flat_j, mode="drop")[:max_pairs]
-    )
+    ia = kflat // n
+    ib = kflat - ia * n
     n_valid = jnp.sum(valid.astype(jnp.int32))
     val = jnp.arange(max_pairs) < n_valid
     return ia, ib, val

@@ -90,6 +90,16 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
     k1 = jnp.maximum(eff_mass(t1, a_a1, a_b1), 1e-9)
     k2 = jnp.maximum(eff_mass(t2, a_a2, a_b2), 1e-9)
 
+    # pack (vel, omega) into one [N,6] array: per iteration the pair
+    # gathers/scatters are the HBM cost (TPU moves one row per index), so
+    # one 6-wide row beats two 3-wide ones
+    def rel_vel_packed(vw):
+        a = vw[ia]
+        b = vw[ib]
+        va = a[:, 0:3] + jnp.cross(a[:, 3:6], r_a)
+        vb = b[:, 0:3] + jnp.cross(b[:, 3:6], r_b)
+        return va - vb
+
     def rel_vel(vel, omega):
         va = vel[ia] + jnp.cross(omega[ia], r_a)
         vb = vel[ib] + jnp.cross(omega[ib], r_b)
@@ -119,8 +129,8 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
     relax = params.relaxation / jnp.maximum(jnp.maximum(touch_a, touch_b), 1.0)
 
     def iteration(carry, _):
-        vel, omega, ln, l1, l2 = carry
-        v = rel_vel(vel, omega)
+        vw, ln, l1, l2 = carry
+        v = rel_vel_packed(vw)  # friction uses pre-normal-update vel (Jacobi)
         vn = m3.dot(v, n)
 
         d_ln = (target - vn) / kn * relax
@@ -129,7 +139,6 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
         ln_new = ln + d_ln
 
         max_f = contacts.friction * ln_new
-        v = rel_vel(vel, omega)  # note: friction uses pre-normal-update vel (Jacobi)
         vt1 = m3.dot(v, t1)
         vt2 = m3.dot(v, t2)
         d_l1 = -vt1 / k1 * relax
@@ -145,21 +154,22 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
         dw_a = a_an * d_ln[:, None] + a_a1 * d_l1[:, None] + a_a2 * d_l2[:, None]
         dw_b = a_bn * d_ln[:, None] + a_b1 * d_l1[:, None] + a_b2 * d_l2[:, None]
 
-        vel = vel.at[ia].add(imp * im_a[:, None], mode="drop")
-        vel = vel.at[ib].add(-imp * im_b[:, None], mode="drop")
-        omega = omega.at[ia].add(dw_a, mode="drop")
-        omega = omega.at[ib].add(-dw_b, mode="drop")
-        return (vel, omega, ln_new, l1_new, l2_new), None
+        upd_a = jnp.concatenate([imp * im_a[:, None], dw_a], axis=-1)
+        upd_b = jnp.concatenate([imp * im_b[:, None], dw_b], axis=-1)
+        vw = vw.at[ia].add(upd_a, mode="drop")
+        vw = vw.at[ib].add(-upd_b, mode="drop")
+        return (vw, ln_new, l1_new, l2_new), None
 
     zeros_c = jnp.zeros_like(kn)
-    (vel, omega, *_), _ = jax.lax.scan(
+    vw0 = jnp.concatenate([bodies.vel, bodies.omega], axis=-1)
+    (vw, *_), _ = jax.lax.scan(
         iteration,
-        (bodies.vel, bodies.omega, zeros_c, zeros_c, zeros_c),
+        (vw0, zeros_c, zeros_c, zeros_c),
         None,
         length=params.iterations,
     )
     del nb
-    return vel, omega
+    return vw[:, 0:3], vw[:, 3:6]
 
 
 def step_bodies(bodies: RigidBodies, params: SolverParams) -> RigidBodies:

@@ -156,9 +156,13 @@ def expand_draws(draws: DrawList, pool: MeshPool, max_tris: int):
     marks = jnp.zeros(max_tris, jnp.int32).at[starts].add(1, mode="drop")
     draw_idx = jnp.minimum(jnp.cumsum(marks) - 1, counts.shape[0] - 1)
     draw_idx = jnp.maximum(draw_idx, 0)
-    local = e - starts[draw_idx]
+    # one row-gather for the two per-draw columns (vs two element gathers)
+    per_draw = jnp.stack(
+        [starts, pool.mesh_first_tri[draws.mesh_id]], axis=-1
+    )[draw_idx]
+    local = e - per_draw[:, 0]
     live = e < total
-    tri_pool = pool.mesh_first_tri[draws.mesh_id[draw_idx]] + local
+    tri_pool = per_draw[:, 1] + local
     return draw_idx, tri_pool, live
 
 
@@ -239,15 +243,27 @@ def _near_clip_cols(cw, pos_cols, attr_cols, live, extra_cap: int, eps: float):
     ]
     live1 = keep | one_out | two_out
 
+    # quad second-half sources by scatter-rank recovery (the k-th one_out
+    # tri writes its index into slot k; searchsorted is gather-bound on TPU)
     cum = jnp.cumsum(one_out.astype(jnp.int32))
-    targets = jnp.arange(1, extra_cap + 1, dtype=jnp.int32)
-    srcs = jnp.minimum(
-        jnp.searchsorted(cum, targets, side="left").astype(jnp.int32), t - 1
+    rank = jnp.where(one_out, cum - 1, extra_cap)  # non-crossing -> dropped
+    srcs = (
+        jnp.zeros(extra_cap + 1, jnp.int32)
+        .at[jnp.minimum(rank, extra_cap)]
+        .set(jnp.arange(t, dtype=jnp.int32), mode="drop")[:extra_cap]
     )
-    have = targets <= cum[-1]
+    have = jnp.arange(1, extra_cap + 1, dtype=jnp.int32) <= cum[-1]
+    # gather all 3x9 extra columns as ONE row-gather of a packed matrix
+    # (TPU gathers move rows: 27 column-gathers cost 27x this)
     tri2 = [i01, u2, i20]
+    packed = jnp.stack([col for v in range(3) for col in tri2[v]], axis=-1)
+    rows = packed[srcs]  # [extra_cap, 3*nc]
     extras = [
-        [jnp.where(have, col[srcs], 0.0) for col in tri2[v]] for v in range(3)
+        [
+            jnp.where(have, rows[:, v * nc + c], 0.0)
+            for c in range(nc)
+        ]
+        for v in range(3)
     ]
     return tri1, live1, srcs, have, extras
 
@@ -272,15 +288,21 @@ def setup_triangles(
     def grow(col, fill=0.0):
         return jnp.concatenate([col, jnp.full((pad,), fill, col.dtype)])
 
-    # per-vertex pool indices and vertex field columns (flat gathers only)
-    vidx = [pool.tris[:, v][tri_pool] for v in range(3)]
-    vcol = [[pool.verts[:, f][vidx[v]] for f in range(8)] for v in range(3)]
+    # per-vertex pool indices and vertex field columns.  Gathers are the
+    # cost here (TPU gathers move ROWS — one sublane per gathered index —
+    # so k same-index element-gathers cost k row-gathers): fetch whole rows
+    # once and slice the columns statically, 5 row-gathers instead of 43.
+    tri_rows = pool.tris[tri_pool]                       # [T,3]
+    vidx = [tri_rows[:, v] for v in range(3)]
+    vrows = [pool.verts[vidx[v]] for v in range(3)]      # 3x [T,8]
+    vcol = [[vrows[v][:, f] for f in range(8)] for v in range(3)]
 
-    # mvp per draw (tiny), gathered per tri as 16 scalar columns
+    # mvp per draw (tiny), gathered per tri as one 16-wide row
     mvp = jnp.einsum(
         "ij,djk->dik", view_proj, draws.model, precision=m3.PRECISION
     )
-    mcol = [[mvp[:, i, j][draw_idx] for j in range(4)] for i in range(4)]
+    mrows = mvp.reshape(-1, 16)[draw_idx]                # [T,16]
+    mcol = [[mrows[:, i * 4 + j] for j in range(4)] for i in range(4)]
 
     def clip_coord(i, v):
         p = vcol[v]
