@@ -212,13 +212,16 @@ class LaneGraphBuilder:
 def nearest_lane(lanes: LaneArrays, pos):
     """Closest point over all active segments (sc_traffic_lanes.cpp:239-279).
 
-    pos: [3]; returns (lane_id, s, dist).
+    pos: [3]; returns (lane_id, s, dist).  Column form: under an
+    agents-vmap a [N,Ls,3] temporary pads its trailing dim 42x on TPU.
     """
     a = lanes.node_pos[lanes.seg_start]            # [Ls,3]
-    d = lanes.seg_dir
-    t = jnp.clip(m3.dot(pos[None, :] - a, d), 0.0, lanes.seg_len)
-    closest = a + d * t[:, None]
-    dist = m3.norm(pos[None, :] - closest)
+    ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    dx, dy, dz = lanes.seg_dir[:, 0], lanes.seg_dir[:, 1], lanes.seg_dir[:, 2]
+    rx, ry, rz = pos[0] - ax, pos[1] - ay, pos[2] - az
+    t = jnp.clip(rx * dx + ry * dy + rz * dz, 0.0, lanes.seg_len)
+    ex, ey, ez = rx - dx * t, ry - dy * t, rz - dz * t
+    dist = jnp.sqrt(ex * ex + ey * ey + ez * ez)
     dist = jnp.where(lanes.seg_active & (lanes.seg_len > 1e-5), dist, jnp.inf)
     best = jnp.argmin(dist)
     ok = jnp.isfinite(dist[best])
@@ -246,13 +249,28 @@ def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 
 
     Returns (lane_id, s, pos, dir, ok). Fixed max_hops lax.scan, traceable.
     """
+    # one packed row per segment: (active, len, end, dir.xyz) — each hop
+    # fetches ONE row per agent instead of six element gathers (TPU gathers
+    # cost one row per index)
+    seg_rows = jnp.stack(
+        [
+            lanes.seg_active.astype(jnp.float32),
+            lanes.seg_len,
+            lanes.seg_end.astype(jnp.float32),
+            lanes.seg_dir[:, 0],
+            lanes.seg_dir[:, 1],
+            lanes.seg_dir[:, 2],
+        ],
+        axis=-1,
+    )
 
     def hop(carry, _):
         cur, cs, remaining, done, ok = carry
         safe = jnp.maximum(cur, 0)
-        active = (cur >= 0) & lanes.seg_active[safe] & (lanes.seg_len[safe] > 1e-5)
+        row = seg_rows[safe]
+        length = row[1]
+        active = (cur >= 0) & (row[0] > 0.5) & (length > 1e-5)
         fail = ~done & ~active
-        length = lanes.seg_len[safe]
         available = length - cs
         fits = remaining <= available
 
@@ -261,8 +279,8 @@ def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 
         rem_new = jnp.where(fits, 0.0, remaining - available)
 
         # case: walk to next segment
-        end_node = lanes.seg_end[safe]
-        nxt = _choose_next(lanes, lanes.seg_dir[safe], end_node)
+        end_node = row[2].astype(jnp.int32)
+        nxt = _choose_next(lanes, row[3:6], end_node)
         dead_end = ~fits & (nxt < 0)
         cur_new = jnp.where(fits | dead_end, cur, nxt)
         cs_new = jnp.where(dead_end, length, cs_new)
