@@ -27,7 +27,7 @@ from scx.core.config import EngineConfig, WorldPartitionConfig
 from scx.render import RasterParams
 from scx.render.camera import CameraParams, camera_view_proj_from_pose
 from scx.render.mesh import build_mesh_pool
-from scx.render.pipeline import bin_triangles, setup_triangles
+from scx.render.pipeline import bin_triangles_batched, setup_triangles
 from scx.ops.raster import rasterize_tiles_batched
 from scx.state import entity as ent
 from scx.traffic.lanes import LaneGraphBuilder
@@ -203,9 +203,7 @@ class CityRLEnv:
         )
         visible, mats = cull_entities(state, vp)
         draws = emit_draws(state, visible, mats, 256)
-        setup, aabb, valid = setup_triangles(draws, self.pool, vp, self.raster)
-        binned, counts = bin_triangles(setup, aabb, valid, self.raster)
-        return binned, counts
+        return setup_triangles(draws, self.pool, vp, self.raster)
 
     def _step_impl(self, batch, actions):
         def env_step(state, action):
@@ -215,7 +213,10 @@ class CityRLEnv:
             return state
 
         batch = jax.vmap(env_step)(batch, actions)
-        binned, counts = jax.vmap(self._render_one)(batch)
+        setup, aabb, valid = jax.vmap(self._render_one)(batch)
+        # binning OUTSIDE the vmap: its rank-recovery scatter lowers ~50x
+        # slower as a batched scatter than as one folded 2D scatter
+        binned, counts = bin_triangles_batched(setup, aabb, valid, self.raster)
         g = rasterize_tiles_batched(binned, counts, self.raster)
         obs = jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
         # reward: forward progress of the player (m per step)

@@ -479,6 +479,63 @@ def bin_triangles(setup, aabb, valid, params: RasterParams):
     return binned, counts  # raw counts (may exceed K: overflow stat)
 
 
+def bin_triangles_batched(setup, aabb, valid, params: RasterParams):
+    """Env-batched tile binning: setup [E,T,F], aabb [E,T,4], valid [E,T]
+    -> (binned [E,n_tiles,K,F], counts [E,n_tiles]).
+
+    A `vmap` of `bin_triangles` lowers its rank-recovery scatter to a
+    batched scatter that XLA executes ~50x slower than the single-scene
+    one; folding the env axis into the tile axis keeps it a plain 2D
+    scatter (one scatter for the whole fleet)."""
+    e, t = valid.shape
+    ntx, nty = params.tiles_x, params.tiles_y
+    n_tiles = params.n_tiles
+    k = params.max_tris_per_tile
+
+    tx0 = jnp.clip(jnp.floor(aabb[..., 0] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(aabb[..., 1] / params.tile_h), 0, nty - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(aabb[..., 2] / params.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(aabb[..., 3] / params.tile_h), 0, nty - 1).astype(jnp.int32)
+
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    t_y = tiles // ntx
+    t_x = tiles - t_y * ntx
+    overlap = (
+        valid[:, None, :]
+        & (t_x[None, :, None] >= tx0[:, None, :])
+        & (t_x[None, :, None] <= tx1[:, None, :])
+        & (t_y[None, :, None] >= ty0[:, None, :])
+        & (t_y[None, :, None] <= ty1[:, None, :])
+    )  # [E, tiles, T]
+    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)
+    counts = rank[..., -1]
+
+    flat_overlap = overlap.reshape(e * n_tiles, t)
+    flat_rank = rank.reshape(e * n_tiles, t)
+    pos = jnp.where(flat_overlap, flat_rank - 1, k)
+    pos = jnp.minimum(pos, k)
+    row_ids = jnp.broadcast_to(
+        jnp.arange(e * n_tiles, dtype=jnp.int32)[:, None], (e * n_tiles, t)
+    )
+    tri_cols = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[None, :], (e * n_tiles, t)
+    )
+    tri_ids = (
+        jnp.zeros((e * n_tiles, k + 1), jnp.int32)
+        .at[row_ids, pos]
+        .set(tri_cols, mode="drop")[:, :k]
+        .reshape(e, n_tiles, k)
+    )
+    slot = jnp.arange(k, dtype=jnp.int32)
+    in_range = slot[None, None, :] < counts[:, :, None]
+
+    binned = jax.vmap(lambda s, i: s[i])(setup, tri_ids)  # [E,tiles,K,F]
+    binned = binned.at[..., F_VALID].set(
+        jnp.where(in_range, binned[..., F_VALID], 0.0)
+    )
+    return binned, counts
+
+
 @struct.dataclass
 class Materials:
     """Material table (AssetManager materials, sc_assets.cpp:321-364):

@@ -173,3 +173,35 @@ def test_render_frame_end_to_end_with_texture():
     np.testing.assert_allclose(
         bgpix, np.broadcast_to([0.05, 0.07, 0.1], bgpix.shape), atol=1e-5
     )
+
+
+def test_bin_triangles_batched_matches_vmap():
+    """bin_triangles_batched (folded-scatter fast path) == vmapped
+    bin_triangles for a random env batch."""
+    import jax
+    import numpy as np
+    from scx.render.pipeline import (
+        RasterParams, bin_triangles, bin_triangles_batched, N_FIELDS,
+    )
+
+    p = RasterParams(
+        width=128, height=64, tile_h=16, tile_w=128,
+        max_tris=64, max_tris_per_tile=16, interpret=True,
+    )
+    rng = np.random.default_rng(7)
+    e, t = 5, 64
+    setup = jnp.asarray(rng.normal(size=(e, t, N_FIELDS)).astype(np.float32))
+    x0 = rng.uniform(0, 128, (e, t)).astype(np.float32)
+    y0 = rng.uniform(0, 64, (e, t)).astype(np.float32)
+    aabb = jnp.stack(
+        [x0, y0, x0 + rng.uniform(0, 200, (e, t)), y0 + rng.uniform(0, 80, (e, t))],
+        axis=-1,
+    ).astype(jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=(e, t)) < 0.6)
+
+    b_ref, c_ref = jax.vmap(lambda s, a, v: bin_triangles(s, a, v, p))(
+        setup, aabb, valid
+    )
+    b_new, c_new = bin_triangles_batched(setup, aabb, valid, p)
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
+    np.testing.assert_allclose(np.asarray(b_ref), np.asarray(b_new), rtol=0, atol=0)
