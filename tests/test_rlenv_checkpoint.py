@@ -70,3 +70,26 @@ def test_job_system():
     stats = js.begin_frame()
     assert stats.dispatched > 0 and stats.async_jobs == 1
     js.shutdown()
+
+
+def test_rlenv_rollout_matches_stepping():
+    """Device-chained rollout == the same number of host step() calls."""
+    import numpy as np
+
+    e1 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
+    e2 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
+    acts = np.tile(np.asarray([[0.8, 0.0, 0.1, 0.0]], np.float32), (2, 1))
+    rews = []
+    for _ in range(3):
+        obs, rew = e1.step(acts)
+        rews.append(np.asarray(rew))
+    obs_means, roll_rews = e2.rollout(acts, length=3)
+    np.testing.assert_allclose(
+        np.stack(rews), np.asarray(roll_rews), rtol=1e-5, atol=1e-6
+    )
+    # final states identical
+    np.testing.assert_allclose(
+        np.asarray(e1.state.transform.pos), np.asarray(e2.state.transform.pos),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert obs_means.shape == (3, 2)
