@@ -208,14 +208,29 @@ def generate_contacts(
     bodies: RigidBodies, ia, ib, pair_valid, max_contacts_per_pair: int = MAX_CONTACTS_PER_PAIR
 ) -> Contacts:
     """Contacts for each broadphase pair, top-K deepest per pair, flattened."""
-    ga = lambda arr: arr[ia]
-    gb = lambda arr: arr[ib]
-
     from scx.physics.rigid import shape_centers
+
+    # one packed row per body — each endpoint costs ONE gathered row
+    # instead of eight element gathers (TPU gathers move rows)
     centers = shape_centers(bodies)
+    rows = jnp.concatenate(
+        [
+            centers,
+            bodies.quat,
+            bodies.shape.astype(jnp.float32)[:, None],
+            bodies.size,
+            bodies.friction[:, None],
+            bodies.restitution[:, None],
+        ],
+        axis=-1,
+    )  # [N, 3+4+1+3+1+1]
+    ra, rb = rows[ia], rows[ib]
+
+    def unpack(r):
+        return r[:, 0:3], r[:, 3:7], r[:, 7].astype(jnp.int32), r[:, 8:11]
+
     pt, nm, dp, vd = jax.vmap(_pair_candidates)(
-        ga(centers), ga(bodies.quat), ga(bodies.shape), ga(bodies.size),
-        gb(centers), gb(bodies.quat), gb(bodies.shape), gb(bodies.size),
+        *unpack(ra), *unpack(rb)
     )  # [P,_N_CAND,...]
 
     vd = vd & pair_valid[:, None]
@@ -232,8 +247,9 @@ def generate_contacts(
     flat = lambda x: x.reshape((p * k,) + x.shape[2:])
     ia_f = jnp.repeat(ia, k)
     ib_f = jnp.repeat(ib, k)
-    fr = (bodies.friction[ia_f] * bodies.friction[ib_f])
-    re = (bodies.restitution[ia_f] * bodies.restitution[ib_f])
+    # multiplicative combiners from the already-gathered rows (cols 11, 12)
+    fr = jnp.repeat(ra[:, 11] * rb[:, 11], k)
+    re = jnp.repeat(ra[:, 12] * rb[:, 12], k)
     return Contacts(
         ia=ia_f,
         ib=ib_f,
