@@ -80,7 +80,7 @@ def sharded_sim_render_step(step_env_fn, render_rows_fn, mesh: Mesh, img_h: int)
     render_rows_fn: (state_slice, row0, n_rows) -> [n_rows, W, C] image rows
     Returns f(batch) -> (batch', images [local layout], stats) under jit.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sp = mesh.shape["sp"]
     rows_per = img_h // sp
@@ -100,6 +100,6 @@ def sharded_sim_render_step(step_env_fn, render_rows_fn, mesh: Mesh, img_h: int)
         mesh=mesh,
         in_specs=(P("dp"),),
         out_specs=(P("dp"), P("dp", "sp", None, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -50,7 +50,7 @@ def test_mesh_and_sharding():
 
 
 def test_psum_stats_in_shard_map():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = make_mesh(dp=8, sp=1)
@@ -61,6 +61,6 @@ def test_psum_stats_in_shard_map():
 
     out = jax.jit(
         shard_map(local, mesh=mesh, in_specs=(P("dp"),), out_specs=P(),
-                  check_rep=False)
+                  check_vma=False)
     )(x)
     assert float(out["total"]) == float(jnp.sum(x))
