@@ -82,6 +82,8 @@ class CityRLEnv:
 
         self._step_jit = jax.jit(self._step_impl)
         self._rollout_jit = None
+        self._rollout_sharded_jit = None
+        self._rollout_sharded_key = None
         self.state = self._build_batch()
 
     # ------------------------------------------------------------------
@@ -269,3 +271,57 @@ class CityRLEnv:
             self.state, jnp.asarray(actions, jnp.float32), length
         )
         return aux
+
+    def rollout_sharded(self, actions, length: int = 10, mesh=None):
+        """Multi-chip rollout: the env axis sharded over the mesh's 'dp'
+        axis, the SAME device-chained scan as `rollout` running per shard
+        inside shard_map, fleet telemetry reduced across chips with psum.
+
+        This is the scale-out deployment shape (SURVEY §2 parallelism
+        items 6-7): per-env computation is untouched, so results are
+        bitwise equal to the unsharded `rollout` on the same envs; only
+        placement and the psum'd stats involve the mesh. Collectives ride
+        ICI via jax.lax.psum. Returns ((obs_means [L,N], rewards [L,N]),
+        stats dict of global scalars).
+        """
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scx.parallel.mesh import make_mesh, shard_env_batch
+
+        if mesh is None:
+            mesh = make_mesh()
+        dp = mesh.shape["dp"]
+        if self.n_envs % dp:
+            raise ValueError(f"n_envs {self.n_envs} not divisible by dp={dp}")
+        key = (length, mesh)
+        if self._rollout_sharded_key != key:
+            def local(batch, acts):
+                batch, (obs_means, rewards) = self._rollout_impl(
+                    batch, acts, length
+                )
+                stats = {
+                    "alive": jnp.sum(batch.alive.astype(jnp.int32)),
+                    "reward_sum": jnp.sum(rewards),
+                    "player_speed": jnp.sum(
+                        jnp.linalg.norm(batch.body.vel[:, self.player], axis=-1)
+                    ),
+                }
+                stats = jax.tree.map(lambda x: jax.lax.psum(x, "dp"), stats)
+                return batch, (obs_means, rewards), stats
+
+            fn = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp")),
+                out_specs=(P("dp"), (P(None, "dp"), P(None, "dp")), P()),
+                check_vma=False,
+            )
+            self._rollout_sharded_jit = jax.jit(fn)
+            self._rollout_sharded_key = key
+        self.state = shard_env_batch(self.state, mesh)
+        acts = jax.device_put(
+            jnp.asarray(actions, jnp.float32), NamedSharding(mesh, P("dp"))
+        )
+        self.state, aux, stats = self._rollout_sharded_jit(self.state, acts)
+        return aux, stats
