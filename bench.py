@@ -69,41 +69,84 @@ def build_batch(envs: int, n: int) -> ph.RigidBodies:
 
 
 def main():
+    from scx.physics.warmstart import empty_contact_cache
+
     params = ph.SolverParams(max_pairs=256, iterations=8)
 
-    def rollout(batch):
-        def step(b, _):
-            return jax.vmap(lambda s: ph.step_bodies(s, params))(b), None
+    def rollout(batch, caches):
+        def step(carry, _):
+            b, c = carry
+            b, c, _ = jax.vmap(
+                lambda s, sc: ph.step_bodies_cached(s, params, sc)
+            )(b, c)
+            return (b, c), None
 
-        out, _ = jax.lax.scan(step, batch, None, length=STEPS_PER_CALL)
-        return out
+        (out, caches), _ = jax.lax.scan(
+            step, (batch, caches), None, length=STEPS_PER_CALL
+        )
+        return out, caches
 
-    rollout_jit = jax.jit(rollout, donate_argnums=0)
+    rollout_jit = jax.jit(rollout, donate_argnums=(0, 1))
 
     batch = build_batch(ENVS, BODIES)
-    batch = rollout_jit(batch)  # compile + warm (also settles the piles a bit)
+    one_cache = empty_contact_cache(params.max_pairs)
+    caches = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (ENVS,) + x.shape), one_cache
+    )
+    # compile + warm (also settles the piles a bit)
+    batch, caches = rollout_jit(batch, caches)
     jax.block_until_ready(batch)
 
     best_dt = float("inf")
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         for _ in range(MEASURE_CALLS):
-            batch = rollout_jit(batch)
+            batch, caches = rollout_jit(batch, caches)
         jax.block_until_ready(batch)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     env_steps = ENVS * STEPS_PER_CALL * MEASURE_CALLS
     rate = env_steps / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "physics_env_steps_per_sec",
-                "value": round(rate, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(rate / TARGET, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "physics_env_steps_per_sec",
+        "value": round(rate, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(rate / TARGET, 3),
+    }
+    result["secondary"] = _secondaries()
+    print(json.dumps(result))
+
+
+def _secondaries() -> list:
+    """Render + RL benchmarks as subprocesses (each in a quiet process —
+    co-resident remote compiles poison timings, CLAUDE.md trap 9b). Each
+    script prints a 'BENCH_JSON {...}' line; failures are reported, never
+    fatal to the primary metric. Skip with SCX_BENCH_SECONDARIES=0."""
+    import subprocess
+    import sys
+
+    if os.environ.get("SCX_BENCH_SECONDARIES", "1") == "0":
+        return []
+    root = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for script, timeout in (
+        ("benchmarks/bench_city_720p.py", 2400),
+        ("benchmarks/bench_rlenv.py", 3600),
+    ):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, script)],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=root,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_JSON "):
+                    out.append(json.loads(line[len("BENCH_JSON "):]))
+        except Exception as e:  # noqa: BLE001 — never break the primary line
+            out.append({"metric": script, "error": str(e)[:200]})
+    return out
 
 
 if __name__ == "__main__":

@@ -103,6 +103,9 @@ for _ in range(N): rgb, g, counts = frame(draws)
 jax.block_until_ready(rgb)
 dt=(time.time()-t0)/N
 print("frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
+import json
+print("BENCH_JSON " + json.dumps({"metric": "city_720p_fps", "value": round(1/dt, 1),
+                                  "unit": "FPS", "vs_baseline": round((1/dt)/60.0, 3)}), flush=True)
 setup, aabb, valid = geom(draws)
 print("valid tris:", int(valid.sum()), flush=True)
 for name, f, args in [("geom", geom, (draws,)), ("bin", binf, (aabb, valid, setup))]:

@@ -23,7 +23,8 @@ import numpy as np
 
 
 def main():
-    n_envs = int(os.environ.get("RL_ENVS", "1024"))
+    # BASELINE config #5 default scale: 4096 envs x 128x128 RGB-D
+    n_envs = int(os.environ.get("RL_ENVS", "4096"))
     obs_size = int(os.environ.get("RL_OBS", "128"))
     from scx.app.rlenv import CityRLEnv
 
@@ -60,9 +61,25 @@ def main():
     aux = env.rollout(actions, length=steps)
     jax.block_until_ready(aux)
     dt = time.time() - t0
+    rate = n_envs * steps / dt
     print(
-        f"{n_envs * steps / dt:,.0f} env-steps/s device-chained "
-        f"(obs consumed on device)",
+        f"{rate:,.0f} env-steps/s device-chained (obs consumed on device)",
+        flush=True,
+    )
+    import json
+
+    print(
+        "BENCH_JSON "
+        + json.dumps(
+            {
+                "metric": f"rl_env_steps_per_sec_{n_envs}x{obs_size}",
+                "value": round(rate, 1),
+                "unit": "env_steps/s",
+                # config #5 sets scale, not a rate target; report vs the
+                # round-1 measured 794 steps/s at 1024 envs as the baseline
+                "vs_baseline": round(rate / 794.0, 3),
+            }
+        ),
         flush=True,
     )
 

@@ -85,14 +85,47 @@ class CityRLEnv:
         self._rollout_sharded_jit = None
         self._rollout_sharded_key = None
         self.state = self._build_batch()
+        self.cache = self._build_cache()
+        self.last_info = {"nan_rollbacks": 0, "pair_overflow": 0}
+
+    def _build_cache(self):
+        """Per-env contact warm-start caches (zeros)."""
+        from scx.physics.warmstart import empty_contact_cache
+
+        one = empty_contact_cache(self.sim.solver.max_pairs)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), one
+        )
 
     # ------------------------------------------------------------------
     def _build_env_np(self, env_idx: int) -> dict:
-        """Numpy column overrides for one env (no device dispatches)."""
-        cfg = WorldPartitionConfig(seed=self.seed + env_idx)
-        recs = procgen.generate_sector_spawns(cfg, 0, 0)
-        arrs = procgen.spawns_to_arrays(recs)
-        k = len(recs)
+        """Numpy column overrides for one env (no device dispatches).
+
+        The native procgen baker (native/sc_native.cpp, golden-equivalent to
+        scx.world.procgen per tests/test_native.py) bakes the sector ~50x
+        faster than the Python port — at BASELINE config #5 scale (4096
+        envs) the Python build was the bottleneck (VERDICT r1 item 3)."""
+        native_out = None
+        try:
+            from scx import native as scn
+
+            native_out = scn.generate_sector_spawns(self.seed + env_idx, 0, 0)
+        except Exception:
+            native_out = None
+        if native_out is not None:
+            transforms, _kind = native_out
+            pos_arr = transforms[:, 0:3]
+            yaw_arr = transforms[:, 4]
+            scale_arr = transforms[:, 6:9]
+            k = len(transforms)
+        else:
+            cfg = WorldPartitionConfig(seed=self.seed + env_idx)
+            recs = procgen.generate_sector_spawns(cfg, 0, 0)
+            arrs = procgen.spawns_to_arrays(recs)
+            pos_arr = arrs["pos"]
+            yaw_arr = arrs["rot"][:, 1]
+            scale_arr = arrs["scale"]
+            k = len(recs)
         n = self.capacity
         cols = {
             "alive": np.zeros(n, bool),
@@ -108,14 +141,14 @@ class CityRLEnv:
             "lane_s": np.zeros(n, np.float32),
         }
         cols["alive"][:k] = True
-        cols["pos"][:k] = arrs["pos"]
-        cols["rot"][:k, 0] = np.cos(arrs["rot"][:, 1] * 0.5)
-        cols["rot"][:k, 2] = np.sin(arrs["rot"][:, 1] * 0.5)
-        cols["scale"][:k] = arrs["scale"]
+        cols["pos"][:k] = pos_arr
+        cols["rot"][:k, 0] = np.cos(yaw_arr * 0.5)
+        cols["rot"][:k, 2] = np.sin(yaw_arr * 0.5)
+        cols["scale"][:k] = scale_arr
         cols["mesh"][:k] = 0
         cols["mat"][:k] = 0
         cols["body_type"][:k] = ent.BODY_STATIC
-        cols["half"][:k] = arrs["scale"] * 0.5
+        cols["half"][:k] = scale_arr * 0.5
 
         segs = self._lane_builder.sector_segments[(0, 0)]
         for i in range(self.n_traffic):
@@ -207,14 +240,37 @@ class CityRLEnv:
         draws = emit_draws(state, visible, mats, 256)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
-    def _step_impl(self, batch, actions):
-        def env_step(state, action):
-            state, _, _ = self._tick(
-                state, self.lanes, self.player, action, jnp.int32(self.substeps)
+    def _step_impl(self, batch, cache, actions):
+        def env_step(state, c, action):
+            state, c, _, counts = self._tick(
+                state, c, self.lanes, self.player, action, jnp.int32(self.substeps)
             )
-            return state
+            return state, c, counts["pair_overflow"]
 
-        batch = jax.vmap(env_step)(batch, actions)
+        new_batch, new_cache, overflow = jax.vmap(env_step)(batch, cache, actions)
+
+        # NaN-state detection with rollback (SURVEY §5.3): a solver blow-up
+        # in one env reverts that env to its pre-step state instead of
+        # propagating silently through an RL fleet.
+        def env_finite(s):
+            return (
+                jnp.all(jnp.isfinite(s.transform.pos))
+                & jnp.all(jnp.isfinite(s.transform.rot))
+                & jnp.all(jnp.isfinite(s.body.vel))
+                & jnp.all(jnp.isfinite(s.body.omega))
+            )
+
+        # ok.shape[0] is the LOCAL env count (n_envs/dp inside shard_map)
+        ok = jax.vmap(env_finite)(new_batch)
+        keep = lambda n, o: jnp.where(
+            jnp.reshape(ok, (ok.shape[0],) + (1,) * (n.ndim - 1)), n, o
+        )
+        batch = jax.tree.map(keep, new_batch, batch)
+        cache = jax.tree.map(keep, new_cache, cache)
+        info = {
+            "nan_rollbacks": jnp.sum((~ok).astype(jnp.int32)),
+            "pair_overflow": jnp.max(overflow),
+        }
         setup, aabb, valid = jax.vmap(self._render_one)(batch)
         # binning OUTSIDE the vmap: its rank-recovery scatter lowers ~50x
         # slower as a batched scatter than as one folded 2D scatter
@@ -231,11 +287,12 @@ class CityRLEnv:
             )
         )(batch)
         reward = fwd_speed * (self.cfg.physics.fixed_dt * self.substeps)
-        return batch, obs, reward
+        return batch, cache, obs, reward, info
 
     # ------------------------------------------------------------------
     def reset(self):
         self.state = self._build_batch()
+        self.cache = self._build_cache()
         obs = np.zeros(
             (self.n_envs, self.raster.height, self.raster.width, 4), np.float32
         )
@@ -243,18 +300,26 @@ class CityRLEnv:
 
     def step(self, actions):
         """actions [N,4] -> (obs [N,H,W,4], reward [N])."""
-        self.state, obs, reward = self._step_jit(
-            self.state, jnp.asarray(actions, jnp.float32)
+        self.state, self.cache, obs, reward, info = self._step_jit(
+            self.state, self.cache, jnp.asarray(actions, jnp.float32)
         )
+        self.last_info = {k: int(v) for k, v in info.items()}
         return obs, reward
 
-    def _rollout_impl(self, batch, actions, length):
-        def body(b, _):
-            b, obs, rew = self._step_impl(b, actions)
+    def _rollout_impl(self, batch, cache, actions, length):
+        def body(carry, _):
+            b, c, nans = carry
+            b, c, obs, rew, info = self._step_impl(b, c, actions)
             # obs consumed on device (policy stand-in): per-env mean pool
-            return b, (jnp.mean(obs, axis=(1, 2, 3)), rew)
+            return (b, c, nans + info["nan_rollbacks"]), (
+                jnp.mean(obs, axis=(1, 2, 3)),
+                rew,
+            )
 
-        return jax.lax.scan(body, batch, None, length=length)
+        (batch, cache, nans), aux = jax.lax.scan(
+            body, (batch, cache, jnp.int32(0)), None, length=length
+        )
+        return batch, cache, nans, aux
 
     def rollout(self, actions, length: int = 10):
         """Device-chained rollout: `length` full steps (sim + traffic +
@@ -266,10 +331,11 @@ class CityRLEnv:
         device transports. Returns (obs_means [L,N], rewards [L,N]).
         """
         if self._rollout_jit is None:
-            self._rollout_jit = jax.jit(self._rollout_impl, static_argnums=2)
-        self.state, aux = self._rollout_jit(
-            self.state, jnp.asarray(actions, jnp.float32), length
+            self._rollout_jit = jax.jit(self._rollout_impl, static_argnums=3)
+        self.state, self.cache, nans, aux = self._rollout_jit(
+            self.state, self.cache, jnp.asarray(actions, jnp.float32), length
         )
+        self.last_info = {"nan_rollbacks": int(nans), "pair_overflow": 0}
         return aux
 
     def rollout_sharded(self, actions, length: int = 10, mesh=None):
@@ -296,9 +362,9 @@ class CityRLEnv:
             raise ValueError(f"n_envs {self.n_envs} not divisible by dp={dp}")
         key = (length, mesh)
         if self._rollout_sharded_key != key:
-            def local(batch, acts):
-                batch, (obs_means, rewards) = self._rollout_impl(
-                    batch, acts, length
+            def local(batch, cache, acts):
+                batch, cache, nans, (obs_means, rewards) = self._rollout_impl(
+                    batch, cache, acts, length
                 )
                 stats = {
                     "alive": jnp.sum(batch.alive.astype(jnp.int32)),
@@ -306,22 +372,26 @@ class CityRLEnv:
                     "player_speed": jnp.sum(
                         jnp.linalg.norm(batch.body.vel[:, self.player], axis=-1)
                     ),
+                    "nan_rollbacks": nans,
                 }
                 stats = jax.tree.map(lambda x: jax.lax.psum(x, "dp"), stats)
-                return batch, (obs_means, rewards), stats
+                return batch, cache, (obs_means, rewards), stats
 
             fn = shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P("dp"), P("dp")),
-                out_specs=(P("dp"), (P(None, "dp"), P(None, "dp")), P()),
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp"), (P(None, "dp"), P(None, "dp")), P()),
                 check_vma=False,
             )
             self._rollout_sharded_jit = jax.jit(fn)
             self._rollout_sharded_key = key
         self.state = shard_env_batch(self.state, mesh)
+        self.cache = shard_env_batch(self.cache, mesh)
         acts = jax.device_put(
             jnp.asarray(actions, jnp.float32), NamedSharding(mesh, P("dp"))
         )
-        self.state, aux, stats = self._rollout_sharded_jit(self.state, acts)
+        self.state, self.cache, aux, stats = self._rollout_sharded_jit(
+            self.state, self.cache, acts
+        )
         return aux, stats

@@ -90,12 +90,16 @@ def spawn_player_vehicle(state, slot: int, pos=(0.0, 0.6, 0.0)):
 
 
 def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
-    """The device tick: (state, lanes, player_idx, input4, n_steps) ->
-    (state, despawn_mask, telemetry scalars)."""
+    """The device tick: (state, cache, lanes, player_idx, input4, n_steps) ->
+    (state, cache, despawn_mask, telemetry scalars).
+
+    `cache` is the contact warm-start cache (scx.physics.warmstart
+    .empty_contact_cache(sim.solver.max_pairs)), threaded across frames by
+    the caller. Telemetry includes physics capacity overflow counters."""
     tcfg = cfg.traffic
     dt = cfg.physics.fixed_dt
 
-    def tick(state, lanes, player_idx, player_input, n_steps):
+    def tick(state, cache, lanes, player_idx, player_input, n_steps):
         # player input -> vehicle input column (Input phase)
         state = state.replace(
             vehicle=state.vehicle.replace(
@@ -108,30 +112,38 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
         state, despawn = traffic_lod_update(state, player_pos, tcfg)
 
         # FixedUpdate xN (scan over static bound, masked)
-        def fixed(state, i):
+        def fixed(carry, i):
+            state, cache, acc = carry
             active = i < n_steps
 
-            def run(s):
+            def run(s, c):
                 bodies = bodies_from_state(s)
                 is_veh = (s.components & ent.C_VEHICLE) != 0
                 s = traffic_ai_update(s, lanes, bodies, is_veh, tcfg, dt)
-                s = physics_sync_step(s, sim.solver, sim.vehicle, dt)
-                return s
+                return physics_sync_step(s, sim.solver, sim.vehicle, dt, c)
 
-            new = run(state)
-            state = jax.tree.map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(active, (1,) * a.ndim), a, b
-                ),
-                new,
-                state,
+            new_s, new_c, pstats = run(state, cache)
+            sel = lambda a, b: jnp.where(jnp.reshape(active, (1,) * a.ndim), a, b)
+            state = jax.tree.map(sel, new_s, state)
+            cache = jax.tree.map(sel, new_c, cache)
+            acc = jax.tree.map(
+                lambda m, v: jnp.maximum(m, jnp.where(active, v, 0)), acc, pstats
             )
-            return state, None
+            return (state, cache, acc), None
 
-        state, _ = jax.lax.scan(fixed, state, jnp.arange(max_substeps))
+        acc0 = {
+            "pairs": jnp.int32(0),
+            "pair_overflow": jnp.int32(0),
+            "contacts": jnp.int32(0),
+            "trigger_overlaps": jnp.int32(0),
+        }
+        (state, cache, acc), _ = jax.lax.scan(
+            fixed, (state, cache, acc0), jnp.arange(max_substeps)
+        )
 
-        counts = tier_counts(state)
-        return state, despawn, counts
+        counts = dict(tier_counts(state))
+        counts.update(acc)
+        return state, cache, despawn, counts
 
     return tick
 
@@ -140,7 +152,7 @@ def chase_camera(state, player_idx, cam_state, dt, cfg: EngineConfig):
     """Spring-damper chase cam with occlusion pull-in and speed FOV
     (VehicleCameraSystem, sc_vehicle.cpp:527-649) — pure, device-side."""
     from scx.physics.world import bodies_from_state
-    from scx.physics.queries import sphere_cast
+    from scx.physics.queries import capsule_cast
 
     pos = state.transform.pos[player_idx]
     rot = state.transform.rot[player_idx]
@@ -149,14 +161,16 @@ def chase_camera(state, player_idx, cam_state, dt, cfg: EngineConfig):
     target = pos + jnp.asarray([0.0, 1.0, 0.0])
 
     desired = pos - fwd * 9.0 + jnp.asarray([0.0, 3.5, 0.0])
-    # occlusion: swept sphere from the target toward the desired camera spot
-    # pulls the camera in front of world geometry (sc_vehicle.cpp:595-625)
+    # occlusion: swept capsule from the target toward the desired camera spot
+    # pulls the camera in front of world geometry (sc_vehicle.cpp:595-625 —
+    # the reference sweeps a capsule, sc_physics.cpp:740-810)
     bodies = bodies_from_state(state)
     to_cam = desired - target
     dist = m3.norm(to_cam)
-    hit = sphere_cast(
-        bodies, target, m3.safe_normalize(to_cam, jnp.asarray([0.0, 0.0, -1.0])),
-        dist, 0.3, exclude=player_idx,
+    hit = capsule_cast(
+        bodies, target, jnp.asarray([0.0, 1.0, 0.0]), 0.25, 0.3,
+        m3.safe_normalize(to_cam, jnp.asarray([0.0, 0.0, -1.0])),
+        dist, exclude=player_idx,
     )
     pulled = jnp.where(hit.hit, target + m3.safe_normalize(to_cam) * hit.t * 0.95, desired)
 
@@ -222,6 +236,9 @@ class Sandbox:
             ),
             vehicle=VehicleParams(),
         )
+        from scx.physics.warmstart import empty_contact_cache
+
+        self._cache = empty_contact_cache(self.sim.solver.max_pairs)
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
         self._render = jax.jit(self._render_impl)
         from scx.render.debug_draw import DebugDraw, overlay_lines
@@ -332,8 +349,9 @@ class Sandbox:
         t0 = time.perf_counter()
         if self._lane_arrays is None:
             self._lane_arrays = self.lanes.to_arrays()
-        self.state, despawn, counts = self._tick(
+        self.state, self._cache, despawn, counts = self._tick(
             self.state,
+            self._cache,
             self._lane_arrays,
             self.player_slot,
             self._frame_input,
@@ -384,6 +402,9 @@ class Sandbox:
         t.traffic_kinematic = int(counts["kinematic"])
         t.traffic_onrails = int(counts["onrails"])
         t.traffic_stuck = int(counts.get("stuck", 0))
+        t.broadphase_pairs = int(counts.get("pairs", 0))
+        t.pair_overflow = int(counts.get("pair_overflow", 0))
+        t.contacts = int(counts.get("contacts", 0))
         if self.spawner is not None:
             t.traffic_spawns = self.spawner.spawns_this_frame
         t.visible = int(self._render_stats["visible"])
@@ -391,13 +412,26 @@ class Sandbox:
         t.resident_textures = self.assets.stats.resident_textures
         t.resident_bytes = self.assets.stats.resident_bytes
         t.texture_evictions = self.assets.stats.evictions
+        # host scope timings + job telemetry (sc_time.cpp:84-122 top-5 drain)
+        from scx.core.timing import snapshot_top_scopes
+
+        t.top_scopes = [(s.name, s.ms) for s in snapshot_top_scopes()]
+        js = getattr(self, "_job_stats", None)
+        if js is not None:
+            t.jobs_dispatched = js.dispatched + js.async_jobs
+            t.jobs_completed = js.completed
+            t.jobs_busy_ms = js.busy_ms
 
     def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
         """One engine frame through the scheduler; returns (rgb, telemetry)."""
         from scx.state.scheduler import Phase
 
+        from scx.core.jobs import jobs
+        from scx.core.timing import ScopedTimer
+
         self.frame_no += 1
         self.telemetry.begin_frame(self.frame_no)
+        self._job_stats = jobs().begin_frame()  # publish + reset (sc_jobs.cpp:150-200)
         n_steps = self.clock.advance(frame_dt)
         ctx = {
             "player_input": player_input,
@@ -413,7 +447,10 @@ class Sandbox:
         ):
             for sysd in self.scheduler.phase_systems(phase):
                 t0 = time.perf_counter()
-                sysd.fn(ctx)
+                # every system runs under a named scope, like the scheduler's
+                # auto-registered scopes (sc_scheduler.cpp:20)
+                with ScopedTimer(f"System/{sysd.name}"):
+                    sysd.fn(ctx)
                 self.scheduler.stats_ms[sysd.name] = (
                     time.perf_counter() - t0
                 ) * 1e3

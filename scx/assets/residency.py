@@ -125,13 +125,29 @@ class AssetManager:
 
     def pump_texture_loads(self):
         """Load up to max_loads_per_frame queued textures
-        (pumpTextureLoads, sc_assets.cpp:478-509)."""
-        n = 0
-        while self._load_queue and n < self.config.max_loads_per_frame:
+        (pumpTextureLoads, sc_assets.cpp:478-509).
+
+        Disk decode + resample of the frame's batch runs as a parallel-for
+        on the host job system (the reference decodes on the main thread;
+        jobs().Dispatch is its own parallel-for surface, sc_jobs.h:70-134);
+        the pool writes stay frame-synchronous."""
+        from scx.core.jobs import jobs
+        from scx.core.timing import ScopedTimer
+
+        batch = []
+        while self._load_queue and len(batch) < self.config.max_loads_per_frame:
             asset_id = self._load_queue.pop(0)
             rec = self.textures.get(asset_id)
             if rec is None or rec.slot >= 0:
                 continue
+            batch.append((asset_id, rec))
+        if not batch:
+            return
+
+        decoded: list = [None] * len(batch)
+
+        def decode(i):
+            rec = batch[i][1]
             path = getattr(rec, "path", None)
             img = None
             if path:
@@ -139,20 +155,27 @@ class AssetManager:
                     self.asset_root or ".", path
                 )
                 img = tex.load_image(full)
+            if img is not None:
+                decoded[i] = tex.resample_to(img, self.slot_size)
+
+        with ScopedTimer("Assets/Decode"):
+            jobs().dispatch(len(batch), 1, decode)
+
+        for i, (asset_id, rec) in enumerate(batch):
             slot = self._claim_slot()
             if slot < 0:
                 # over capacity: leave non-resident (material binds fallback)
                 continue
+            img = decoded[i]
             if img is None:
-                img = tex.fallback_texture()
+                img = tex.resample_to(tex.fallback_texture(), self.slot_size)
                 self.stats.fallback_binds += 1
-            self._pool_host[slot] = tex.resample_to(img, self.slot_size)
+            self._pool_host[slot] = img
             self._pool_dirty = True
             rec.slot = slot
             rec.bytes = self.slot_bytes
             rec.last_used_frame = self.frame
             self.stats.loads_completed += 1
-            n += 1
 
     def touch(self, asset_id: int):
         """LRU touch (touchMaterial/touch, sc_assets.cpp:441-455)."""

@@ -8,11 +8,14 @@ stacking — the common case in the reference's city scenes — the clamp is
 exactly the standard polygon clip; for tilted boxes it is a close
 approximation that preserves the 4-point manifold.
 
-Edge-edge minimum axes produce a single contact at the closest points of the
-two extremal edges.
+Edge-edge minimum axes produce a contact PAIR: the closest points of the two
+extremal edges plus a second sample at the far end of the mutual overlap
+interval (collapses to one point for genuinely crossing edges; spans the
+contact line for near-parallel edges — the manifold Bullet accumulates
+across frames).
 
-Everything returns fixed-size candidate arrays [9]: 4 (ref face on A) +
-4 (ref face on B) + 1 (edge case), with only the winning case valid — shaped
+Everything returns fixed-size candidate arrays [10]: 4 (ref face on A) +
+4 (ref face on B) + 2 (edge case), with only the winning case valid — shaped
 for vmap over broadphase pairs.
 """
 
@@ -77,9 +80,14 @@ def _face_candidates(h_ref, h_inc, r_inc, t_inc, axis_i, sign_s):
 
 
 def _edge_candidate(h_a, h_b, r, t, axis_pair, normal_a):
-    """Single edge-edge contact; axis_pair=(i,j), normal_a = unit axis in A
-    frame pointing A->B. Returns (point[3] A-frame, depth scalar computed by
-    caller)."""
+    """Edge-edge contact pair; axis_pair=(i,j), normal_a = unit axis in A
+    frame pointing A->B. Returns points[2,3] in the A frame: the closest
+    points of the two clamped edges, PLUS a second sample at the far end of
+    the mutual overlap interval. For genuinely crossing edges the two
+    coincide (one effective contact); for near-parallel edges they span the
+    contact line — the 2-point manifold Bullet accumulates across frames
+    from its persistent btPersistentManifold (sc_physics.cpp relies on
+    Bullet's box-box edge handling)."""
     i, j = axis_pair[0], axis_pair[1]
     e_i = jax.nn.one_hot(i, 3)
     e_j_b = jax.nn.one_hot(j, 3)
@@ -107,13 +115,32 @@ def _edge_candidate(h_a, h_b, r, t, axis_pair, normal_a):
     u = jnp.clip((jnp.dot(d_a, r0) * b - a * jnp.dot(d_b, r0)) / denom, -he_b, he_b)
     p_a = c_a + d_a * s
     p_b = c_b + d_b * u
-    return 0.5 * (p_a + p_b)
+    p0 = 0.5 * (p_a + p_b)
+
+    # second sample: B's edge endpoints projected onto A's edge give the
+    # mutual overlap interval [s_lo, s_hi]; take whichever end is farther
+    # from s (for crossing edges both collapse to s and p1 == p0)
+    u_ends = jnp.asarray([-he_b, he_b])
+    s_proj = jnp.dot(d_a, r0) + u_ends * b  # closest s for each B endpoint
+    s_lo = jnp.clip(jnp.min(s_proj), -he_a, he_a)
+    s_hi = jnp.clip(jnp.max(s_proj), -he_a, he_a)
+    s2 = jnp.where(jnp.abs(s_hi - s) > jnp.abs(s_lo - s), s_hi, s_lo)
+    u2 = jnp.clip(jnp.dot(d_b, (c_a + d_a * s2) - c_b), -he_b, he_b)
+    p_a2 = c_a + d_a * s2
+    p_b2 = c_b + d_b * u2
+    p1 = 0.5 * (p_a2 + p_b2)
+    # depth penalty of the second sample: how much farther apart the pair is
+    # than the closest pair (zero for parallel or crossing edges)
+    d0 = jnp.linalg.norm(p_a - p_b)
+    d1 = jnp.linalg.norm(p_a2 - p_b2)
+    return jnp.stack([p0, p1]), jnp.asarray([0.0, 1.0]) * (d1 - d0)
 
 
 def box_box_contacts(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     """SAT manifold for one OBB pair.
 
-    Returns (points[9,3] world, normals[9,3] world B->A, depth[9], valid[9]).
+    Returns (points[10,3] world, normals[10,3] world B->A, depth[10],
+    valid[10]).
     """
     ra = m3.quat_to_mat3(quat_a)
     rb = m3.quat_to_mat3(quat_b)
@@ -185,26 +212,26 @@ def box_box_contacts(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     axis_e = axes_n[ei, ej]
     # orient axis from A toward B
     axis_e = axis_e * jnp.sign(jnp.where(jnp.dot(axis_e, t) == 0, 1.0, jnp.dot(axis_e, t)))
-    pt_e = _edge_candidate(h_a, h_b, r, t, jnp.stack([ei, ej]), axis_e)
-    pt_e_w = pos_a + jnp.einsum("ij,j->i", ra, pt_e)
+    pt_e, pen_e = _edge_candidate(h_a, h_b, r, t, jnp.stack([ei, ej]), axis_e)
+    pt_e_w = pos_a + jnp.einsum("ij,vj->vi", ra, pt_e)  # [2,3]
     n_e_w = -jnp.einsum("ij,j->i", ra, axis_e)  # B->A
-    dep_e = min_e
+    dep_e = min_e - pen_e  # [2]
 
-    points = jnp.concatenate([pts_fa_w, pts_fb_w, pt_e_w[None]], axis=0)  # [9,3]
+    points = jnp.concatenate([pts_fa_w, pts_fb_w, pt_e_w], axis=0)  # [10,3]
     normals = jnp.concatenate(
         [
             jnp.broadcast_to(n_fa_w, (4, 3)),
             jnp.broadcast_to(n_fb_w, (4, 3)),
-            n_e_w[None],
+            jnp.broadcast_to(n_e_w, (2, 3)),
         ],
         axis=0,
     )
-    depths = jnp.concatenate([dep_fa, dep_fb, dep_e[None]])
+    depths = jnp.concatenate([dep_fa, dep_fb, dep_e])
     case_mask = jnp.concatenate(
         [
             jnp.broadcast_to(use_face_a, (4,)),
             jnp.broadcast_to(use_face_b, (4,)),
-            use_edge[None],
+            jnp.broadcast_to(use_edge, (2,)),
         ]
     )
     valid = case_mask & (depths > 0.0) & ~separated

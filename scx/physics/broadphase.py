@@ -18,7 +18,10 @@ from scx.physics.rigid import RigidBodies, body_aabbs
 
 
 def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
-    """Returns (ia, ib, valid): up to `max_pairs` overlapping body pairs.
+    """Returns (ia, ib, valid, n_candidates): up to `max_pairs` overlapping
+    body pairs plus the TOTAL candidate count before the capacity cap —
+    callers surface max(0, n_candidates - max_pairs) as pair overflow
+    telemetry instead of silently losing contacts.
 
     Deterministic: pairs are ordered by flattened (i,j) index, i < j.
     Inactive bodies, static-static pairs and filtered layers are excluded.
@@ -68,4 +71,4 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     ib = kflat - ia * n
     n_valid = jnp.sum(valid.astype(jnp.int32))
     val = jnp.arange(max_pairs) < n_valid
-    return ia, ib, val
+    return ia, ib, val, n_valid

@@ -7,9 +7,9 @@ built for vmap:
   * every shape is canonicalized to BOX or CAPSULE (sphere == capsule with
     zero half-height), leaving 3 pair kinds: box-box, box-capsule,
     capsule-capsule;
-  * each broadphase pair yields up to 16 candidate points (box-box corner
-    tests both ways; segment/endpoint probes otherwise), reduced to the
-    4 deepest (Bullet's manifold cap is 4 points too);
+  * each broadphase pair yields up to 10 candidate points (box-box face
+    clips both ways + edge pair; clipped segment probes otherwise), reduced
+    to the 4 deepest (Bullet's manifold cap is 4 points too);
   * contact normal points from body B toward body A; depth >= 0 means
     penetration.
 
@@ -28,7 +28,7 @@ from scx.physics.boxbox import box_box_contacts
 from scx.physics.rigid import RigidBodies, SHAPE_BOX, SHAPE_SPHERE, SHAPE_CAPSULE
 
 MAX_CONTACTS_PER_PAIR = 4
-_N_CAND = 9
+_N_CAND = 10
 
 
 @struct.dataclass
@@ -43,6 +43,19 @@ class Contacts:
     valid: jax.Array    # [C] bool
     friction: jax.Array     # [C] combined
     restitution: jax.Array  # [C] combined
+    cand: jax.Array     # [C] i32 candidate slot within the pair (warm-start key)
+    trigger_overlap: jax.Array  # [C] bool — overlapping but trigger-flagged
+                                # (reported, never solved; sc_physics.cpp:372-379)
+
+
+def trigger_overlap_mask(contacts: "Contacts", n: int):
+    """Per-body trigger-event mask [N]: True where a body participates in a
+    trigger overlap this step (the gameplay-facing event surface)."""
+    m = jnp.zeros((n,), jnp.int32)
+    ev = contacts.trigger_overlap.astype(jnp.int32)
+    m = m.at[contacts.ia].max(ev, mode="drop")
+    m = m.at[contacts.ib].max(ev, mode="drop")
+    return m > 0
 
 
 def _box_sdf_local(p, h):
@@ -128,16 +141,35 @@ def _sphere_box(center, radius, pos_b, quat_b, h_b):
 
 
 def _capsule_box(pos_a, quat_a, size_a, pos_b, quat_b, h_b):
-    """Capsule A vs box B: 3 sphere probes (endpoints + closest to box center)."""
+    """Capsule A vs box B: 5 sphere probes — the two segment endpoints, the
+    point closest to the box center, and the two ends of the segment CLIPPED
+    to the radius-expanded box slabs. The clipped pair gives the proper
+    2-point manifold for a capsule lying across a box face (segment-face
+    clipping; Bullet reaches the same via its GJK manifold accumulation)."""
     a0, a1 = _segment_of_capsule(pos_a, quat_a, size_a)
-    mid = _closest_pt_segment(a0, a1, pos_b)
     r = size_a[0]
-    pts = jnp.stack([a0, a1, mid])
-    p, n, d, v = jax.vmap(lambda c: _sphere_box(c, r, pos_b, quat_b, h_b))(pts)
-    # degenerate capsule (a sphere): endpoints coincide with mid — keep only mid
+    mid = _closest_pt_segment(a0, a1, pos_b)
+
+    # clip the segment (box local frame) to the expanded slabs |x_k| <= h+r
+    l0 = _to_local(quat_b, pos_b, a0)
+    l1 = _to_local(quat_b, pos_b, a1)
+    d = l1 - l0
+    lim = h_b + r
+    safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    ta = (-lim - l0) / safe_d
+    tb = (lim - l0) / safe_d
+    t0 = jnp.clip(jnp.max(jnp.minimum(ta, tb)), 0.0, 1.0)
+    t1 = jnp.clip(jnp.min(jnp.maximum(ta, tb)), 0.0, 1.0)
+    c0 = a0 + (a1 - a0) * t0
+    c1 = a0 + (a1 - a0) * t1
+
+    pts = jnp.stack([a0, a1, mid, c0, c1])
+    p, n, dep, v = jax.vmap(lambda c: _sphere_box(c, r, pos_b, quat_b, h_b))(pts)
+    # degenerate capsule (a sphere): all probes coincide with mid — keep only mid
     is_sphere = size_a[1] <= 1e-5
-    v = v & jnp.asarray([~is_sphere, ~is_sphere, True])
-    return p, n, d, v
+    keep = jnp.asarray([False, False, True, False, False])
+    v = v & jnp.where(is_sphere, keep, jnp.ones((5,), bool))
+    return p, n, dep, v
 
 
 def _pair_candidates(pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b):
@@ -221,9 +253,10 @@ def generate_contacts(
             bodies.size,
             bodies.friction[:, None],
             bodies.restitution[:, None],
+            bodies.trigger.astype(jnp.float32)[:, None],
         ],
         axis=-1,
-    )  # [N, 3+4+1+3+1+1]
+    )  # [N, 3+4+1+3+1+1+1]
     ra, rb = rows[ia], rows[ib]
 
     def unpack(r):
@@ -250,13 +283,18 @@ def generate_contacts(
     # multiplicative combiners from the already-gathered rows (cols 11, 12)
     fr = jnp.repeat(ra[:, 11] * rb[:, 11], k)
     re = jnp.repeat(ra[:, 12] * rb[:, 12], k)
+    # trigger pairs: overlap is an event, not a constraint (col 13)
+    is_trigger = jnp.repeat((ra[:, 13] > 0.0) | (rb[:, 13] > 0.0), k)
+    valid_f = flat(valid)
     return Contacts(
         ia=ia_f,
         ib=ib_f,
         point=flat(point),
         normal=flat(normal),
         depth=flat(depth),
-        valid=flat(valid),
+        valid=valid_f & ~is_trigger,
         friction=fr,
         restitution=re,
+        cand=flat(top_idx).astype(jnp.int32),
+        trigger_overlap=valid_f & is_trigger,
     )

@@ -51,6 +51,9 @@ class RigidBodies:
     active: jax.Array       # [N] bool — participates in sim
     shape_offset: jax.Array # [N,3] collider center relative to COM (body frame)
                             # — the COM-offset mechanism of sc_physics.cpp:168-189
+    sleep_timer: jax.Array  # [N] f32 seconds below the deactivation thresholds
+    trigger: jax.Array      # [N] bool — overlap events only, no collision
+                            # response (sc_physics.cpp:372-379 trigger flag)
 
     @property
     def n(self) -> int:
@@ -103,6 +106,8 @@ def make_bodies(
     mask=None,
     active=None,
     shape_offset=None,
+    sleep_timer=None,
+    trigger=None,
 ) -> RigidBodies:
     """Convenience constructor with reference defaults (sc_physics.h:37-45)."""
     n = pos.shape[0]
@@ -144,6 +149,12 @@ def make_bodies(
         active=jnp.ones((n,), jnp.bool_) if active is None else active,
         shape_offset=(
             jnp.zeros((n, 3), jnp.float32) if shape_offset is None else shape_offset.astype(jnp.float32)
+        ),
+        sleep_timer=(
+            jnp.zeros((n,), jnp.float32) if sleep_timer is None else sleep_timer.astype(jnp.float32)
+        ),
+        trigger=(
+            jnp.zeros((n,), jnp.bool_) if trigger is None else trigger.astype(jnp.bool_)
         ),
     )
 

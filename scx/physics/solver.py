@@ -44,6 +44,11 @@ class SolverParams:
     restitution_threshold: float = struct.field(pytree_node=False, default=1.0)
     relaxation: float = struct.field(pytree_node=False, default=0.8)
     max_pairs: int = struct.field(pytree_node=False, default=128)
+    warm_start: float = struct.field(pytree_node=False, default=0.85)
+    # Bullet deactivation defaults (btRigidBody: 0.8 lin / 1.0 ang / 2 s)
+    sleep_lin: float = struct.field(pytree_node=False, default=0.8)
+    sleep_ang: float = struct.field(pytree_node=False, default=1.0)
+    sleep_time: float = struct.field(pytree_node=False, default=2.0)
 
 
 def _orthonormal_tangents(n):
@@ -58,8 +63,17 @@ def _orthonormal_tangents(n):
     return t1, t2
 
 
-def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
-    """Iterative velocity solve; returns updated (vel, omega)."""
+def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=None):
+    """Iterative velocity solve with optional warm start.
+
+    lam0 [C,3]: accumulated (normal, tangent1, tangent2) impulses from the
+    previous step's matching contacts. They are applied to the velocities up
+    front (scaled by params.warm_start) and seed the accumulators, so the
+    iterations only correct the residual — Bullet's accumulated-impulse warm
+    start, batched.
+
+    Returns (vel, omega, lam [C,3], contact_count_per_body [N]).
+    """
     c_valid = contacts.valid
     ia, ib = contacts.ia, contacts.ib
     n = contacts.normal
@@ -162,24 +176,87 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams):
 
     zeros_c = jnp.zeros_like(kn)
     vw0 = jnp.concatenate([bodies.vel, bodies.omega], axis=-1)
-    (vw, *_), _ = jax.lax.scan(
+    if lam0 is None:
+        ln0 = l10 = l20 = zeros_c
+    else:
+        w = params.warm_start
+        ln0 = jnp.where(c_valid, jnp.maximum(lam0[:, 0] * w, 0.0), 0.0)
+        max_f0 = contacts.friction * ln0
+        l10 = jnp.clip(jnp.where(c_valid, lam0[:, 1] * w, 0.0), -max_f0, max_f0)
+        l20 = jnp.clip(jnp.where(c_valid, lam0[:, 2] * w, 0.0), -max_f0, max_f0)
+        imp = ln0[:, None] * n + l10[:, None] * t1 + l20[:, None] * t2
+        dw_a = a_an * ln0[:, None] + a_a1 * l10[:, None] + a_a2 * l20[:, None]
+        dw_b = a_bn * ln0[:, None] + a_b1 * l10[:, None] + a_b2 * l20[:, None]
+        upd_a = jnp.concatenate([imp * im_a[:, None], dw_a], axis=-1)
+        upd_b = jnp.concatenate([imp * im_b[:, None], dw_b], axis=-1)
+        vw0 = vw0.at[ia].add(upd_a, mode="drop")
+        vw0 = vw0.at[ib].add(-upd_b, mode="drop")
+    (vw, ln, l1, l2), _ = jax.lax.scan(
         iteration,
-        (vw0, zeros_c, zeros_c, zeros_c),
+        (vw0, ln0, l10, l20),
         None,
         length=params.iterations,
     )
     del nb
-    return vw[:, 0:3], vw[:, 3:6]
+    lam = jnp.stack([ln, l1, l2], axis=-1)
+    return vw[:, 0:3], vw[:, 3:6], lam, cnt
+
+
+def step_bodies_cached(bodies: RigidBodies, params: SolverParams, cache):
+    """One fixed physics step with warm starting and sleeping:
+    integrate forces -> contacts -> warm-started solve -> sleep -> move.
+
+    cache: ContactCache from the previous step (scx.physics.warmstart).
+    Returns (bodies, cache, stats) where stats surfaces capacity overflow
+    (pair_overflow > 0 means the scene is dropping contacts — raise
+    max_pairs) and contact counts. Pure and shape-static; vmap over scenes,
+    lax.scan over substeps with (bodies, cache) as carry.
+    """
+    from scx.physics.warmstart import gather_warm_impulses, store_impulses
+
+    bodies = integrate_velocities(bodies, params.dt, params.gravity)
+    ia, ib, pair_valid, n_cand = broadphase_pairs(bodies, params.max_pairs)
+    contacts = generate_contacts(bodies, ia, ib, pair_valid)
+    lam0 = gather_warm_impulses(
+        cache, ia, ib, pair_valid, contacts.cand, bodies.n
+    )
+    vel, omega, lam, cnt = solve_velocity(bodies, contacts, params, lam0)
+
+    # sleeping (Bullet deactivation semantics): a supported body whose
+    # velocities stay under the thresholds for sleep_time gets its residual
+    # jitter snapped to zero; losing support (cnt == 0) lets gravity build
+    # real velocity again, which resets the timer past the threshold.
+    dyn = (bodies.inv_mass > 0) & bodies.active
+    low = (jnp.sum(vel * vel, -1) < params.sleep_lin**2) & (
+        jnp.sum(omega * omega, -1) < params.sleep_ang**2
+    )
+    timer = jnp.where(dyn & low, bodies.sleep_timer + params.dt, 0.0)
+    asleep = (timer > params.sleep_time) & (cnt > 0)
+    vel = jnp.where(asleep[:, None], 0.0, vel)
+    omega = jnp.where(asleep[:, None], 0.0, omega)
+    bodies = bodies.replace(vel=vel, omega=omega, sleep_timer=timer)
+
+    cache = store_impulses(
+        cache, ia, ib, pair_valid, contacts.cand, lam, contacts.valid, bodies.n
+    )
+    stats = {
+        "pairs": jnp.sum(pair_valid.astype(jnp.int32)),
+        "pair_overflow": jnp.maximum(n_cand - params.max_pairs, 0),
+        "contacts": jnp.sum(contacts.valid.astype(jnp.int32)),
+        "trigger_overlaps": jnp.sum(contacts.trigger_overlap.astype(jnp.int32)),
+    }
+    return integrate_positions(bodies, params.dt), cache, stats
 
 
 def step_bodies(bodies: RigidBodies, params: SolverParams) -> RigidBodies:
-    """One fixed physics step: integrate forces -> contacts -> solve -> move.
+    """One fixed physics step with a cold cache (convenience/tests).
 
-    Pure and shape-static; vmap over scenes, lax.scan over substeps.
+    Loops should use step_bodies_cached — warm starting carries accumulated
+    impulses across steps (stability + fewer iterations).
     """
-    bodies = integrate_velocities(bodies, params.dt, params.gravity)
-    ia, ib, pair_valid = broadphase_pairs(bodies, params.max_pairs)
-    contacts = generate_contacts(bodies, ia, ib, pair_valid)
-    vel, omega = solve_velocity(bodies, contacts, params)
-    bodies = bodies.replace(vel=vel, omega=omega)
-    return integrate_positions(bodies, params.dt)
+    from scx.physics.warmstart import empty_contact_cache
+
+    bodies, _, _ = step_bodies_cached(
+        bodies, params, empty_contact_cache(params.max_pairs)
+    )
+    return bodies

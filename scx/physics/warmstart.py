@@ -1,0 +1,91 @@
+"""Contact warm starting — accumulated impulses carried across steps.
+
+Bullet's btPersistentManifold caches contact points and their accumulated
+impulses between steps and warm-starts the sequential-impulse solver with
+them (the reference gets this for free from btDiscreteDynamicsWorld,
+sc_physics.cpp:283-302). The TPU equivalent is a fixed-shape cache keyed by
+pair identity:
+
+  * the broadphase emits pairs in ascending flat (i*n+j) order, so the key
+    column is sorted — matching last step's pairs to this step's is ONE
+    small searchsorted over [max_pairs] (cheap; the TPU-hostile case is
+    big-array binary search, CLAUDE.md quirk #4);
+  * within a pair, contacts keep their candidate-slot id (face-A corner k /
+    face-B corner k / edge end k), which is stable while the SAT case is
+    stable — a [4,4] one-hot match re-associates impulses when top-k
+    reorders them.
+
+Warm-started impulses are applied to the velocities up front and the solver
+iterations only correct the residual — fewer iterations for equal stack
+stability (the round-1 solve was 8 cold Jacobi sweeps).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from scx.physics.contacts import MAX_CONTACTS_PER_PAIR
+
+_EMPTY_KEY = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class ContactCache:
+    """Per-scene warm-start cache, fixed capacity [max_pairs]."""
+
+    pair_key: jax.Array  # [P] i32 flat i*n+j, sorted ascending; INT_MAX empty
+    cand: jax.Array      # [P,K] i32 candidate slot per stored contact (-1 none)
+    lam: jax.Array       # [P,K*3] f32 accumulated (ln, l1, l2) per contact
+
+
+def empty_contact_cache(max_pairs: int, k: int = MAX_CONTACTS_PER_PAIR) -> ContactCache:
+    return ContactCache(
+        pair_key=jnp.full((max_pairs,), _EMPTY_KEY, jnp.int32),
+        cand=jnp.full((max_pairs, k), -1, jnp.int32),
+        lam=jnp.zeros((max_pairs, k * 3), jnp.float32),
+    )
+
+
+def gather_warm_impulses(cache: ContactCache, ia, ib, pair_valid, cand, n_bodies):
+    """Warm impulses for this step's contacts.
+
+    ia/ib/pair_valid: this step's pairs [P]; cand: [P*K] candidate slots from
+    generate_contacts. Returns lam0 [P*K, 3] (zeros where unmatched).
+    """
+    p = ia.shape[0]
+    k = MAX_CONTACTS_PER_PAIR
+    new_key = jnp.where(
+        pair_valid, ia * jnp.int32(n_bodies) + ib, _EMPTY_KEY
+    ).astype(jnp.int32)
+    idx = jnp.searchsorted(cache.pair_key, new_key)
+    idxc = jnp.minimum(idx, cache.pair_key.shape[0] - 1)
+    matched = (cache.pair_key[idxc] == new_key) & pair_valid
+    prev_cand = cache.cand[idxc]                      # [P,K]
+    prev_lam = cache.lam[idxc].reshape(p, k, 3)       # [P,K,3]
+    cur_cand = cand.reshape(p, k)
+    # re-associate by candidate slot: [P, cur K, prev K] one-hot match
+    m = (cur_cand[:, :, None] == prev_cand[:, None, :]) & (
+        prev_cand[:, None, :] >= 0
+    ) & matched[:, None, None]
+    lam0 = jnp.einsum("pst,ptc->psc", m.astype(jnp.float32), prev_lam)
+    return lam0.reshape(p * k, 3)
+
+
+def store_impulses(
+    cache: ContactCache, ia, ib, pair_valid, cand, lam, contact_valid, n_bodies
+) -> ContactCache:
+    """New cache from this step's solve results (lam [P*K,3])."""
+    p = ia.shape[0]
+    k = MAX_CONTACTS_PER_PAIR
+    new_key = jnp.where(
+        pair_valid, ia * jnp.int32(n_bodies) + ib, _EMPTY_KEY
+    ).astype(jnp.int32)
+    lam_masked = jnp.where(contact_valid[:, None], lam, 0.0).reshape(p, k * 3)
+    cand_masked = jnp.where(contact_valid, cand, -1).reshape(p, k)
+    return cache.replace(
+        pair_key=new_key,
+        cand=cand_masked.astype(jnp.int32),
+        lam=lam_masked.astype(jnp.float32),
+    )

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from scx.core import math3d as m3
 from scx.physics.rigid import RigidBodies, shape_inertia_diag
-from scx.physics.solver import SolverParams, step_bodies
+from scx.physics.solver import SolverParams, step_bodies_cached
 from scx.physics.vehicle import (
     VehicleParams,
     WheelConfig,
@@ -71,6 +71,8 @@ def bodies_from_state(state: EntityState) -> RigidBodies:
         mask=b.mask,
         active=active,
         shape_offset=-b.com_offset,
+        sleep_timer=b.sleep_timer,
+        trigger=b.trigger,
     )
 
 
@@ -87,6 +89,7 @@ def write_back(state: EntityState, bodies: RigidBodies) -> EntityState:
         body=state.body.replace(
             vel=jnp.where(dyn[:, None], bodies.vel, state.body.vel),
             omega=jnp.where(dyn[:, None], bodies.omega, state.body.omega),
+            sleep_timer=jnp.where(dyn, bodies.sleep_timer, state.body.sleep_timer),
         ),
     )
 
@@ -106,13 +109,17 @@ def physics_sync_step(
     params: SolverParams,
     vparams: VehicleParams,
     dt,
-) -> EntityState:
-    """One fixed step: vehicle pre-step -> solver step -> write back.
+    cache,
+):
+    """One fixed step: vehicle pre-step -> warm-started solver step ->
+    write back. Returns (state, cache, stats).
 
-    `vparams` supplies the static bits only (wheel_width for geometry
-    helpers); the dynamic tuning each vehicle drives with comes from its
-    own EntityState columns (per-entity live tuning, updateVehicleTuning
-    parity — sc_physics.cpp:970-1013)."""
+    `cache` is the contact warm-start cache (scx.physics.warmstart),
+    threaded across steps by the caller; `stats` surfaces pair/contact
+    counts and capacity overflow. `vparams` supplies the static bits only
+    (wheel_width for geometry helpers); the dynamic tuning each vehicle
+    drives with comes from its own EntityState columns (per-entity live
+    tuning, updateVehicleTuning parity — sc_physics.cpp:970-1013)."""
     del vparams  # per-entity tuning columns are authoritative
     bodies = bodies_from_state(state)
 
@@ -162,10 +169,11 @@ def physics_sync_step(
         )
     )
 
-    bodies = step_bodies(bodies, params)
+    bodies, cache, pstats = step_bodies_cached(bodies, params, cache)
     state = write_back(state, bodies)
 
     # record vehicle speeds into traffic.speed for the AI's P-control
     speeds = jax.vmap(lambda i: vehicle_speed_ms(bodies, jnp.minimum(i, state.capacity - 1)))(v_idx)
     tr_speed = state.traffic.speed.at[v_idx].set(speeds, mode="drop")
-    return state.replace(traffic=state.traffic.replace(speed=tr_speed))
+    state = state.replace(traffic=state.traffic.replace(speed=tr_speed))
+    return state, cache, pstats

@@ -92,6 +92,7 @@ class BodyState:
     vel: jax.Array           # [N,3] f32
     omega: jax.Array         # [N,3] f32 world-frame angular velocity
     com_offset: jax.Array    # [N,3] f32 visual->COM offset (sc_physics.cpp:168-189)
+    sleep_timer: jax.Array   # [N] f32 deactivation timer (Bullet sleeping)
 
 
 @struct.dataclass
@@ -199,6 +200,7 @@ def alloc_entity_state(capacity: int) -> EntityState:
             vel=f3,
             omega=f3,
             com_offset=f3,
+            sleep_timer=f1,
         ),
         traffic=TrafficState(
             mode=jnp.full((n,), TRAFFIC_NONE, jnp.int32),

@@ -51,11 +51,18 @@ class FrameTelemetry:
     # physics
     bodies_active: int = 0
     contacts: int = 0
+    broadphase_pairs: int = 0
+    pair_overflow: int = 0  # candidates dropped at the max_pairs cap
 
     # assets (AssetStats mirror)
     resident_textures: int = 0
     resident_bytes: int = 0
     texture_evictions: int = 0
+
+    # jobs (JobStats mirror, sc_jobs.cpp:150-200)
+    jobs_dispatched: int = 0
+    jobs_completed: int = 0
+    jobs_busy_ms: float = 0.0
 
     # top host scopes (name, ms)
     top_scopes: list = field(default_factory=list)
@@ -109,6 +116,8 @@ class TelemetryHub:
             f"{t.traffic_spawns} stuck {t.traffic_stuck}",
             f"assets {t.resident_textures} tex {t.resident_bytes // 1024} KiB "
             f"evictions {t.texture_evictions}",
+            f"physics pairs {t.broadphase_pairs} contacts {t.contacts}"
+            + (f"  PAIR OVERFLOW {t.pair_overflow}" if t.pair_overflow else ""),
         ]
         if t.top_scopes:
             lines.append(

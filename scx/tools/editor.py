@@ -352,3 +352,269 @@ def sector_file_to_document(sf: wf.SectorFile) -> EditorDocument:
         max_id = max(max_id, e.id)
     doc.next_id = max_id + 1
     return doc
+
+
+# ---------------------------------------------------------------------------
+# Rotate / scale gizmos (ImGuizmo manipulate, main.cpp:1717-1772; axis gizmo
+# editor_core.cpp:507-601)
+# ---------------------------------------------------------------------------
+
+def _ray_plane_point(center, normal, ray_origin, ray_dir):
+    """Intersection of a pick ray with the gizmo plane (None if parallel)."""
+    n = np.asarray(normal, np.float64)
+    n = n / max(np.linalg.norm(n), 1e-9)
+    o = np.asarray(ray_origin, np.float64)
+    d = np.asarray(ray_dir, np.float64)
+    denom = d @ n
+    if abs(denom) < 1e-9:
+        return None
+    t = ((np.asarray(center, np.float64) - o) @ n) / denom
+    if t < 0:
+        return None
+    return o + d * t
+
+
+def rotate_gizmo_drag(
+    rotation_euler,
+    axis,
+    center,
+    ray_origin_start,
+    ray_dir_start,
+    ray_origin,
+    ray_dir,
+    snap_deg: float = 0.0,
+):
+    """World-axis rotation drag: both rays hit the gizmo disc plane; the
+    angle swept between the two hit points (around `axis`) is applied as a
+    world-space pre-rotation, then decomposed back to the document's Euler
+    XYZ (ImGuizmo ROTATE with world mode + snap, main.cpp:1739-1752)."""
+    a = np.asarray(axis, np.float64)
+    a = a / max(np.linalg.norm(a), 1e-9)
+    p0 = _ray_plane_point(center, a, ray_origin_start, ray_dir_start)
+    p1 = _ray_plane_point(center, a, ray_origin, ray_dir)
+    if p0 is None or p1 is None:
+        return np.asarray(rotation_euler, np.float32)
+    v0 = p0 - np.asarray(center, np.float64)
+    v1 = p1 - np.asarray(center, np.float64)
+    if np.linalg.norm(v0) < 1e-9 or np.linalg.norm(v1) < 1e-9:
+        return np.asarray(rotation_euler, np.float32)
+    v0 /= np.linalg.norm(v0)
+    v1 /= np.linalg.norm(v1)
+    delta = float(np.arctan2(np.dot(np.cross(v0, v1), a), np.dot(v0, v1)))
+    if snap_deg > 0.0:
+        step = np.deg2rad(snap_deg)
+        delta = round(delta / step) * step
+    e = np.asarray(rotation_euler, np.float32)
+    q_old = m3.quat_from_euler_xyz(e[0], e[1], e[2])
+    q_rot = m3.quat_from_axis_angle(jnp.asarray(a, jnp.float32), delta)
+    q_new = m3.quat_mul(q_rot, q_old)  # world-space rotation
+    return np.asarray(m3.quat_to_euler_xyz(q_new), np.float32)
+
+
+def scale_gizmo_drag(
+    scale,
+    axis_index: int,
+    center,
+    ray_origin_start,
+    ray_dir_start,
+    ray_origin,
+    ray_dir,
+    snap: float = 0.0,
+    uniform: bool = False,
+):
+    """Axis scale drag: the ratio of the drag handle's distance along the
+    axis (closest-point parameter, same math as the translate gizmo) scales
+    that component — or all three when `uniform` (ImGuizmo SCALE,
+    main.cpp:1753-1760)."""
+    axis = np.zeros(3, np.float64)
+    axis[axis_index] = 1.0
+
+    def param(o, d):
+        oo = np.asarray(o, np.float64)
+        dd = np.asarray(d, np.float64)
+        b = axis @ dd
+        denom = 1.0 - b * b
+        if abs(denom) < 1e-9:
+            return None
+        r = oo - np.asarray(center, np.float64)
+        return (r @ axis - b * (r @ dd)) / denom
+
+    s0 = param(ray_origin_start, ray_dir_start)
+    s1 = param(ray_origin, ray_dir)
+    out = np.asarray(scale, np.float32).copy()
+    if s0 is None or s1 is None or abs(s0) < 1e-6:
+        return out
+    factor = s1 / s0
+    if snap > 0.0:
+        factor = max(round(factor / snap) * snap, snap)
+    factor = float(np.clip(factor, 1e-3, 1e3))
+    if uniform:
+        out *= factor
+    else:
+        out[axis_index] *= factor
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-select + group transforms (editor selection, main.cpp ctrl-click)
+# ---------------------------------------------------------------------------
+
+def select_set(doc: EditorDocument, entity_id: int | None):
+    doc.selection = [] if entity_id is None else [entity_id]
+
+
+def select_toggle(doc: EditorDocument, entity_id: int):
+    """Ctrl-click semantics: toggle membership, keep the rest."""
+    if entity_id in doc.selection:
+        doc.selection = [s for s in doc.selection if s != entity_id]
+    else:
+        doc.selection = doc.selection + [entity_id]
+
+
+@dataclass
+class TransformGroupCommand(Command):
+    """One undo step moving the whole selection (multi-select drags)."""
+
+    entity_ids: list
+    positions: list   # new positions, aligned with entity_ids
+    rotations: list
+    scales: list
+    _old: dict | None = None
+
+    def apply(self, doc):
+        self._old = {}
+        for eid, p, r, s in zip(
+            self.entity_ids, self.positions, self.rotations, self.scales
+        ):
+            e = doc.entities.get(eid)
+            if e is None:
+                continue
+            self._old[eid] = (e.position.copy(), e.rotation.copy(), e.scale.copy())
+            e.position = np.asarray(p, np.float32)
+            e.rotation = np.asarray(r, np.float32)
+            e.scale = np.asarray(s, np.float32)
+        doc.dirty = True
+
+    def revert(self, doc):
+        for eid, old in (self._old or {}).items():
+            e = doc.entities.get(eid)
+            if e is not None:
+                e.position, e.rotation, e.scale = old
+        doc.dirty = True
+
+
+def translate_selection(doc: EditorDocument, stack: CommandStack, delta):
+    """Move every selected entity by `delta` as ONE undoable command."""
+    ids = [i for i in doc.selection if i in doc.entities]
+    if not ids:
+        return
+    d = np.asarray(delta, np.float32)
+    stack.execute(
+        doc,
+        TransformGroupCommand(
+            entity_ids=ids,
+            positions=[doc.entities[i].position + d for i in ids],
+            rotations=[doc.entities[i].rotation.copy() for i in ids],
+            scales=[doc.entities[i].scale.copy() for i in ids],
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Editor -> runtime renderer (BuildDrawItems, editor_core.cpp:242-353).
+# The document renders through the EXACT runtime path: EntityState columns ->
+# world_matrices -> emit_draws -> render_frame — visual parity by
+# construction (AGENTS.md:120-128), pinned by tests/test_tools_editor.py.
+# ---------------------------------------------------------------------------
+
+def document_to_entity_state(
+    doc: EditorDocument, capacity: int | None = None, asset_resolver=None
+):
+    """Document instances as a fixed-capacity EntityState (render columns
+    only — the editor simulates nothing).
+
+    asset_resolver("mesh"|"material", asset_id) -> pool slot: the SAME
+    resolver the streaming runtime uses (the reference editor resolves
+    through the render-ABI caches, sc_asset_db.h:100-156), so editor and
+    runtime bind identical mesh/material slots."""
+    from scx.state import entity as ent
+
+    if asset_resolver is None:
+        from scx.world.streaming import _default_resolver as asset_resolver
+
+    ids = sorted(doc.entities)
+    k = len(ids)
+    n = capacity if capacity is not None else max(k, 1)
+    if k > n:
+        raise ValueError(f"document has {k} entities, capacity {n}")
+    pos = np.zeros((n, 3), np.float32)
+    rote = np.zeros((n, 3), np.float32)
+    scale = np.ones((n, 3), np.float32)
+    mesh = np.full(n, -1, np.int32)
+    mat = np.full(n, -1, np.int32)
+    bmin = np.full((n, 3), -0.5, np.float32)
+    bmax = np.full((n, 3), 0.5, np.float32)
+    for i, eid in enumerate(ids):
+        e = doc.entities[eid]
+        pos[i] = e.position
+        rote[i] = e.rotation
+        scale[i] = e.scale
+        mesh[i] = asset_resolver("mesh", e.mesh_id)
+        mat[i] = asset_resolver("material", e.material_id)
+        bmin[i] = e.aabb_min
+        bmax[i] = e.aabb_max
+    quat = np.asarray(
+        m3.quat_from_euler_xyz(
+            jnp.asarray(rote[:, 0]), jnp.asarray(rote[:, 1]), jnp.asarray(rote[:, 2])
+        ),
+        np.float32,
+    )
+    state = ent.alloc_entity_state(n)
+    alive = np.zeros(n, bool)
+    alive[:k] = True
+    return state.replace(
+        alive=jnp.asarray(alive),
+        transform=state.transform.replace(
+            pos=jnp.asarray(pos), rot=jnp.asarray(quat), scale=jnp.asarray(scale)
+        ),
+        render=state.render.replace(
+            mesh_id=jnp.asarray(mesh),
+            material_id=jnp.asarray(mat),
+            aabb_min=jnp.asarray(bmin),
+            aabb_max=jnp.asarray(bmax),
+        ),
+    )
+
+
+def build_draw_items(doc: EditorDocument, max_draws: int | None = None):
+    """EditorDocument -> runtime DrawList (BuildDrawItems parity,
+    editor_core.cpp:242-263). No frustum culling: the editor submits every
+    instance and lets the rasterizer clip, like the reference viewport."""
+    from scx.world.culling import emit_draws, world_matrices
+
+    state = document_to_entity_state(doc)
+    mats = world_matrices(state)
+    visible = state.alive & (state.render.mesh_id >= 0)
+    k = max_draws if max_draws is not None else state.capacity
+    return emit_draws(state, visible, mats, k)
+
+
+def build_debug_lines(doc: EditorDocument, dd, grid_half: float = 32.0,
+                      grid_step: float = 4.0):
+    """Editor viewport overlay: grid + selection AABB outlines into a
+    DebugDraw accumulator (editor_core.cpp:265-353 debug-line building)."""
+    dd.add_grid(half=grid_half, step=grid_step)
+    for eid in doc.selection:
+        e = doc.entities.get(eid)
+        if e is None:
+            continue
+        mat = doc.world_matrix(e)
+        corners = []
+        for cx in (e.aabb_min[0], e.aabb_max[0]):
+            for cy in (e.aabb_min[1], e.aabb_max[1]):
+                for cz in (e.aabb_min[2], e.aabb_max[2]):
+                    p = mat @ np.asarray([cx, cy, cz, 1.0])
+                    corners.append(p[:3])
+        c = np.asarray(corners)
+        dd.add_aabb(c.min(0), c.max(0), color=(1.0, 0.6, 0.0))
+    return dd

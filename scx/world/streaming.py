@@ -24,7 +24,7 @@ from __future__ import annotations
 import enum
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import wait as _wait_futures
 from dataclasses import dataclass, field
 
 import jax
@@ -33,6 +33,8 @@ import numpy as np
 
 from scx.core import log
 from scx.core.config import StreamingBudgets, WorldPartitionConfig
+from scx.core.jobs import jobs
+from scx.core.timing import ScopedTimer
 from scx.core import math3d as m3
 from scx.state import entity as ent
 from scx.world import format as wf
@@ -106,7 +108,10 @@ class WorldPartition:
         self._alive = np.zeros(capacity, bool)
         self._free = list(range(capacity - 1, -1, -1))  # pop() -> lowest index
         self._completed: queue.Queue = queue.Queue()
-        self._pool = ThreadPoolExecutor(max_workers=max(1, budgets.max_concurrent_loads))
+        # async loads run on the GLOBAL job system (jobs().DispatchAsync in
+        # the reference, sc_world_partition.cpp:821-835); the concurrency
+        # budget is enforced at dispatch time via _in_flight, not pool size
+        self._futures: list = []
         self._in_flight = 0
         self._despawn_queue: list[int] = []
         self.authored_lanes: dict[tuple, list] = {}  # coord -> [[(x,y,z)...]]
@@ -371,7 +376,14 @@ class WorldPartition:
     def _dispatch(self, sec: _Sector):
         sec.state = SectorState.LOADING
         self._in_flight += 1
-        self._pool.submit(self._load_job, sec.coord, sec.request_id)
+        self._futures = [f for f in self._futures if not f.done()]
+        self._futures.append(
+            jobs().dispatch_async(self._timed_load_job, sec.coord, sec.request_id)
+        )
+
+    def _timed_load_job(self, coord: tuple, request_id: int):
+        with ScopedTimer("Streaming/Load"):
+            self._load_job(coord, request_id)
 
     MAX_SPAWN_BATCH = 64  # spawn scatters are padded so jit traces once
 
@@ -448,8 +460,10 @@ class WorldPartition:
         return _spawn_jit(state, slots_arr, valid, cols)
 
     def shutdown(self):
-        """Drain in-flight loads (cpp:1036-1069)."""
-        self._pool.shutdown(wait=True)
+        """Drain in-flight loads (cpp:1036-1069). The global job system is
+        shared — wait on this partition's futures, never tear the pool down."""
+        _wait_futures(self._futures)
+        self._futures.clear()
         while True:
             try:
                 self._completed.get_nowait()

