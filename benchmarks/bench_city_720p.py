@@ -59,7 +59,7 @@ for i in range(GS):
         k = len(verts_all)
         lum = 0.25
         for (xx, zz) in [(x0,z0),(x0+16,z0),(x0+16,z0-16),(x0,z0-16)]:
-            verts_all.append([xx, 0.0, zz, lum,lum,lum, (xx%16)/16, (zz%16)/16])
+            verts_all.append([xx, 0.0, zz, lum,lum,lum, (xx-x0)/16, (zz-z0)/-16])
         tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
 verts = np.asarray(verts_all, np.float32)
 tris = np.asarray(tris_all, np.int32)
@@ -74,52 +74,32 @@ draws = rd.DrawList(mesh_id=jnp.zeros((1,), jnp.int32), material_id=jnp.zeros((1
 # street-level camera looking down an avenue
 vp = rd.camera_view_proj(jnp.asarray([7.0, 2.5, 4.0]), jnp.asarray([7.0, 2.0, -60.0]),
                          jnp.asarray([0.0, 1.0, 0.0]), aspect=1280/720)
-mats = pipe.Materials(texture_id=jnp.asarray([-1], jnp.int32), tint=jnp.ones((1,3)))
-yy, xx = np.mgrid[0:64, 0:64]
-tex = jnp.asarray(np.stack([((yy+xx)%2).astype(np.float32)]*3, -1))[None]
+# mip-mapped texturing ON (the reference textures everything; VERDICT r1
+# required the 720p number with mips): one checkerboard albedo material
+from scx.assets import textures as texmod
+mats = pipe.Materials(texture_id=jnp.asarray([0], jnp.int32), tint=jnp.ones((1,3)))
+base = texmod.checker_texture(128, cells=16)
+tex = pipe.MipTextures(quads=jnp.asarray(texmod.build_mip_quads(base))[None], size=128)
 
-geom = jax.jit(lambda d: pipe.setup_triangles(pipe.sort_draws_spatial(d, vp, params), pool, vp, params))
-def _bin(a, v, s):
-    ca, cv, cz = rc.cluster_bounds(a, v, params.max_tris, s)
-    ids, counts = rc.bin_clusters(ca, cv, params, KC, cl_zmin=cz)
-    return ids, counts, cz
-binf = jax.jit(_bin)
-rast = jax.jit(lambda s, i, c, z: rc.rasterize_clusters(s, i, c, params, KC, cl_zmin=z))
-shadef = jax.jit(lambda g: pipe.shade(g, mats, tex))
+# the frame is ONE fused jit of the public API (separate stage jits pay a
+# per-call dispatch tax through the tunnel and block cross-stage fusion)
+framef = jax.jit(lambda d: pipe.render_frame(d, pool, vp, params, mats, tex))
 
-def frame(d):
-    setup, aabb, valid = geom(d)
-    ids, counts, z = binf(aabb, valid, setup)
-    g = rast(setup, ids, counts, z)
-    return shadef(g), g, counts
-
-t0=time.time(); rgb, g, counts = frame(draws); jax.block_until_ready(rgb)
+t0=time.time(); rgb, g, stats = framef(draws); jax.block_until_ready(rgb)
 print("compile+first: %.1f s" % (time.time()-t0), flush=True)
-print("covered:", int(np.asarray(g["covered"]).sum()), "max_occ:", int(jnp.max(counts)),
-      "mean_occ:", float(jnp.mean(counts)), "sat:", int(jnp.sum(counts>=KC)), flush=True)
+print("covered:", int(np.asarray(g["covered"]).sum()),
+      "max_occ:", int(stats["max_tile_occupancy"]),
+      "overflow:", int(stats["tile_overflow"]), flush=True)
 N=30
 t0=time.time()
-for _ in range(N): rgb, g, counts = frame(draws)
+for _ in range(N): rgb, g, stats = framef(draws)
 jax.block_until_ready(rgb)
 dt=(time.time()-t0)/N
 print("frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
 import json
 print("BENCH_JSON " + json.dumps({"metric": "city_720p_fps", "value": round(1/dt, 1),
                                   "unit": "FPS", "vs_baseline": round((1/dt)/60.0, 3)}), flush=True)
-setup, aabb, valid = geom(draws)
-print("valid tris:", int(valid.sum()), flush=True)
-for name, f, args in [("geom", geom, (draws,)), ("bin", binf, (aabb, valid, setup))]:
-    r = f(*args); jax.block_until_ready(r)
-    t0=time.time()
-    for _ in range(N): r = f(*args)
-    jax.block_until_ready(r)
-    print("%s: %.2f ms" % (name, (time.time()-t0)/N*1e3), flush=True)
-ids, counts, z = binf(aabb, valid, setup)
-g2 = rast(setup, ids, counts, z); jax.block_until_ready(g2)
-t0=time.time()
-for _ in range(N): g2 = rast(setup, ids, counts, z)
-jax.block_until_ready(g2)
-print("raster: %.2f ms" % ((time.time()-t0)/N*1e3), flush=True)
+print("tris_in:", int(stats["tris_in"]), flush=True)
 # save a frame for visual sanity
 arr = np.clip(np.asarray(rgb)*255, 0, 255).astype(np.uint8)
 from PIL import Image; Image.fromarray(arr).save("/tmp/city_frame.png")

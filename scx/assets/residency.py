@@ -71,11 +71,14 @@ class AssetManager:
         self.slot_size = slot_size
         self.pool_slots = pool_slots
         pool = np.zeros((pool_slots, slot_size, slot_size, 3), np.float32)
-        pool[FALLBACK_SLOT] = tex.resample_to(tex.fallback_texture(), slot_size)
-        pool[WHITE_SLOT] = tex.resample_to(tex.white_texture(), slot_size)
+        self._mip_offsets, self._mip_sizes = tex.mip_layout(slot_size)
+        self._mip_host = np.zeros((pool_slots, self._mip_offsets[-1], 12), np.float32)
         self._pool_host = pool
         self._pool_dirty = True
         self._pool_device = None
+        self._mip_device = None
+        self._write_slot(FALLBACK_SLOT, tex.resample_to(tex.fallback_texture(), slot_size))
+        self._write_slot(WHITE_SLOT, tex.resample_to(tex.white_texture(), slot_size))
         self.slot_bytes = slot_size * slot_size * 3 * 4
         self._free_slots = list(range(pool_slots - 1, _RESERVED_SLOTS - 1, -1))
         self.textures: dict[int, _TexRecord] = {}
@@ -84,6 +87,14 @@ class AssetManager:
         self._load_queue: list[int] = []
         self.frame = 0
         self.stats = ResidencyStats()
+
+    def _write_slot(self, slot: int, pixels: np.ndarray):
+        """Upload base level + its packed mip chain (the reference uploads
+        level 0 only, sc_assets.cpp:692-778; mips are the software-raster
+        addition — see scx.render.pipeline.MipTextures)."""
+        self._pool_host[slot] = pixels
+        self._mip_host[slot] = tex.build_mip_quads(pixels)
+        self._pool_dirty = True
 
     # -- textures ------------------------------------------------------
     def load_texture(self, path: str, pinned: bool = False) -> int:
@@ -110,8 +121,7 @@ class AssetManager:
         slot = self._claim_slot()
         if slot < 0:
             return asset_id
-        self._pool_host[slot] = tex.resample_to(pixels.astype(np.float32), self.slot_size)
-        self._pool_dirty = True
+        self._write_slot(slot, tex.resample_to(pixels.astype(np.float32), self.slot_size))
         self.textures[asset_id] = _TexRecord(
             asset_id=asset_id, slot=slot, pinned=pinned, from_disk=False,
             bytes=self.slot_bytes, last_used_frame=self.frame,
@@ -170,8 +180,7 @@ class AssetManager:
             if img is None:
                 img = tex.resample_to(tex.fallback_texture(), self.slot_size)
                 self.stats.fallback_binds += 1
-            self._pool_host[slot] = img
-            self._pool_dirty = True
+            self._write_slot(slot, img)
             rec.slot = slot
             rec.bytes = self.slot_bytes
             rec.last_used_frame = self.frame
@@ -241,9 +250,37 @@ class AssetManager:
     def device_pool(self):
         """Texture pool as a device array (uploaded when dirty)."""
         if self._pool_dirty or self._pool_device is None:
+            from scx.core import memtrack
+
+            old = self._pool_device
             self._pool_device = jnp.asarray(self._pool_host)
+            memtrack.retrack_array(
+                memtrack.TAG_ASSETS, old, self._pool_device,
+                f"TexturePool[{self.pool_slots}x{self.slot_size}]",
+            )
+            self._mip_device = None
             self._pool_dirty = False
         return self._pool_device
+
+    def device_pool_mips(self):
+        """Mip-chained texture pool (MipTextures) for the deferred shader."""
+        from scx.render.pipeline import MipTextures
+
+        if self._pool_dirty or self._mip_device is None:
+            from scx.core import memtrack
+
+            self.device_pool()
+            old = self._mip_device
+            self._mip_device = MipTextures(
+                quads=jnp.asarray(self._mip_host), size=self.slot_size
+            )
+            memtrack.retrack_array(
+                memtrack.TAG_ASSETS,
+                old.quads if old is not None else None,
+                self._mip_device.quads,
+                "TexturePoolMips",
+            )
+        return self._mip_device
 
     def device_materials(self) -> Materials:
         """Material table for the deferred shader: texture slot per material

@@ -65,6 +65,14 @@ class TrafficConfig:
     max_placement_attempts: int = 10
     min_lane_gap: float = 15.0
     min_world_clearance: float = 6.0
+    # lane changes: the reference declares the cooldown field but never
+    # implements the behaviour (sc_traffic_common.h:38-44) — extension
+    lane_change_enabled: bool = True
+    lane_change_cooldown: float = 4.0
+    lane_change_min_block: float = 0.25  # obstacle_brake needed to trigger
+    lane_change_min_dist: float = 1.5    # adjacent-lane lateral band
+    lane_change_max_dist: float = 5.5
+    lane_change_gap: float = 8.0         # clearance needed at target point
 
 
 @dataclass(frozen=True)
@@ -124,7 +132,7 @@ class RenderConfig:
 
     width: int = 1280
     height: int = 720
-    tile_h: int = 8
+    tile_h: int = 64  # 64x128 tiles measured fastest (bench_raster_sweep)
     tile_w: int = 128
     max_draws: int = 4096
     max_tris_per_tile: int = 256
@@ -132,6 +140,8 @@ class RenderConfig:
     far_z: float = 1000.0
     fov_y_deg: float = 60.0
     frames_in_flight: int = 2  # host<->device pipelining depth (sc_vk.h:58)
+    use_mips: bool = True  # mip-mapped texture sampling (MipTextures)
+    overlay_text: bool = False  # stamp the debug overlay into the frame
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,27 @@ def cluster_bounds(aabb, valid, max_tris: int, setup=None):
     return bounds, cl_valid, zmin
 
 
+def compact_clusters(cl_aabb, cl_valid, cl_zmin=None, cap: int | None = None):
+    """Live-first stable compaction of the cluster arrays.
+
+    The overlap matrix and top_k in bin_clusters scale with the CLUSTER
+    CAPACITY (max_tris/CLUSTER), not the live count — at 131k max_tris
+    that is 4096 columns for ~1200 live clusters.  One small argsort
+    packs live clusters first (preserving draw order) so binning runs on
+    a static cap of half the capacity.  Returns (aabb, valid, zmin,
+    order) where order maps compact index -> original cluster id."""
+    c = cl_valid.shape[0]
+    if cap is None:
+        cap = max(1, c // 2)
+    idx = jnp.arange(c, dtype=jnp.int32)
+    key = jnp.where(cl_valid, idx, c + idx)  # live first, draw order kept
+    order = jnp.argsort(key)[:cap]
+    aabb = cl_aabb[order]
+    valid = cl_valid[order]  # dead clusters sort after live: tail is False
+    zmin = None if cl_zmin is None else cl_zmin[order]
+    return aabb, valid, zmin, order
+
+
 def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int,
                  cl_zmin=None):
     """Dense overlap + top_k -> per-tile cluster id lists.
@@ -168,48 +189,39 @@ def _kernel(
         # a (CH, th, tw) lattice, reduced by min-depth within the chunk —
         # depth-buffering is a min-reduction so this is exact.  Amortizes
         # the scalar loop/branch overhead that dominates per-tri loops.
-        CH = 16
-
+        # NOTE: evaluating the planes as a (96,3)x(3,th*tw) MXU matmul was
+        # tried and is both SLOWER (8.5 vs 8.0 ms: layout moves eat the FMA
+        # savings) and imprecise (f32 matmul defaults to bf16 passes, which
+        # perturbs edge-function coverage by ~1% of pixels).  VPU it is.
         def _pass_a_cluster(kc):
-            tile_x0 = tx.astype(jnp.float32) * tw
-            tile_y0 = ty.astype(jnp.float32) * th
             pyc = py[None]
             pxc = px[None]
+            blk = buf[kc]                                    # (CLUSTER, 128)
+            g = lambda f: blk[:, f : f + 1][:, :, None]      # (CL,1,1)
 
-            def chunk(c, _):
-                blk = buf[kc, pl.ds(c * CH, CH), :]          # (CH, 128)
-                g = lambda f: blk[:, f : f + 1][:, :, None]  # (CH,1,1)
+            def ev(base):  # plane: a*px + b*py + c, (CL,th,tw)
+                return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
 
-                def ev(base):  # plane: a*px + b*py + c, (CH,th,tw)
-                    return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
+            l0 = ev(pipe.F_L0)
+            l1 = ev(pipe.F_L1)
+            cov = (l0 >= 0.0) & (l1 >= 0.0) & (l0 + l1 <= 1.0)
+            z = ev(pipe.F_Z)
+            zm = jnp.where(cov & (z >= 0.0), z, 2.0)         # (CL,th,tw)
 
-                l0 = ev(pipe.F_L0)
-                l1 = ev(pipe.F_L1)
-                cov = (l0 >= 0.0) & (l1 >= 0.0) & (l0 + l1 <= 1.0)
-                z = ev(pipe.F_Z)
-                zm = jnp.where(cov & (z >= 0.0), z, 2.0)     # (CH,th,tw)
+            # nearest tri of the cluster per pixel (tree reduction — a
+            # sequential fold serializes the VPU)
+            best_z = jnp.min(zm, axis=0)
+            best_j = jnp.argmin(zm, axis=0).astype(jnp.int32)
 
-                # fold: nearest tri of the chunk per pixel
-                best_z = zm[0]
-                best_j = jnp.zeros((th, tw), jnp.int32)
-                for j in range(1, CH):
-                    better = zm[j] < best_z
-                    best_z = jnp.where(better, zm[j], best_z)
-                    best_j = jnp.where(better, j, best_j)
+            depth = depth_ref[:]
+            m = best_z < depth
 
-                depth = depth_ref[:]
-                m = best_z < depth
-
-                @pl.when(jnp.any(m))
-                def _():
-                    depth_ref[:] = jnp.where(m, best_z, depth)
-                    winner_ref[:] = jnp.where(
-                        m, kc * CLUSTER + c * CH + best_j, winner_ref[:]
-                    )
-
-            # unrolled: fori iteration overhead dwarfs the vector work
-            for c in range(CLUSTER // CH):
-                chunk(c, None)
+            @pl.when(jnp.any(m))
+            def _():
+                depth_ref[:] = jnp.where(m, best_z, depth)
+                winner_ref[:] = jnp.where(
+                    m, kc * CLUSTER + best_j, winner_ref[:]
+                )
 
         jax.lax.fori_loop(0, cnt, pass_a, None)
 

@@ -101,7 +101,7 @@ def build_mesh_pool(meshes=None) -> MeshPool:
         bmax.append(verts[:, 0:3].max(axis=0))
         v_off += len(verts)
         t_off += len(tris)
-    return MeshPool(
+    pool = MeshPool(
         verts=jnp.asarray(np.concatenate(all_v, axis=0)),
         tris=jnp.asarray(np.concatenate(all_t, axis=0)),
         mesh_first_tri=jnp.asarray(first, jnp.int32),
@@ -109,3 +109,9 @@ def build_mesh_pool(meshes=None) -> MeshPool:
         mesh_bounds_min=jnp.asarray(np.stack(bmin)),
         mesh_bounds_max=jnp.asarray(np.stack(bmax)),
     )
+    from scx.core import memtrack
+
+    memtrack.track_array(
+        memtrack.TAG_RENDERER, pool, f"MeshPool[{len(meshes)} meshes]"
+    )
+    return pool

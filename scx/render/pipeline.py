@@ -62,7 +62,10 @@ class DrawList:
 class RasterParams:
     width: int = struct.field(pytree_node=False, default=1280)
     height: int = struct.field(pytree_node=False, default=720)
-    tile_h: int = struct.field(pytree_node=False, default=16)
+    # 64x128 tiles measured fastest at 720p (sweep in
+    # benchmarks/bench_raster_sweep.py: 5.4ms vs 8.4ms at 16x128 — fewer
+    # cluster-tile pairs beat smaller wasted lattice)
+    tile_h: int = struct.field(pytree_node=False, default=64)
     tile_w: int = struct.field(pytree_node=False, default=128)
     max_tris: int = struct.field(pytree_node=False, default=131072)
     max_tris_per_tile: int = struct.field(pytree_node=False, default=256)
@@ -545,12 +548,51 @@ class Materials:
     tint: jax.Array        # [M,3] f32
 
 
+@struct.dataclass
+class MipTextures:
+    """Texture pool with packed mip chains: quads [NT, FLAT, 12] where FLAT
+    packs square power-of-two levels base-first (scx.assets.textures.mip_layout)
+    and each row holds the texel's clamped 2x2 bilinear footprint
+    (textures.build_mip_quads).  TPU gathers cost one row per index, so the
+    redundant footprint makes exact bilinear+mips ONE gather per pixel
+    instead of four (~5 ms vs ~20 ms at 720p)."""
+
+    quads: jax.Array  # [NT, FLAT, 12] f32
+    size: int = struct.field(pytree_node=False, default=128)
+
+
+def _uv_mip_level(uv, covered, base_size: int, n_levels: int):
+    """Per-pixel mip level from screen-space UV finite differences.
+
+    The GPU gets duv/dxy from 2x2 quad shading for free; deferred on TPU we
+    difference the uv G-buffer.  Using the MIN-magnitude of forward/backward
+    differences per axis keeps triangle/material boundaries (where the
+    difference is garbage) from blowing the level up — interiors are exact.
+    """
+    up = uv * base_size  # texel coords at level 0
+
+    def min_abs_diff(a, axis):
+        fwd = jnp.diff(a, axis=axis, append=jnp.take(a, jnp.array([-1]), axis=axis))
+        bwd = jnp.diff(a, axis=axis, prepend=jnp.take(a, jnp.array([0]), axis=axis))
+        # replicated-edge diffs are exactly 0 — fall back to the real side
+        pick_f = (jnp.abs(fwd) < jnp.abs(bwd)) & (fwd != 0.0) | (bwd == 0.0)
+        return jnp.where(pick_f, fwd, bwd)
+
+    dx = min_abs_diff(up, 1)  # [H,W,2]
+    dy = min_abs_diff(up, 0)
+    rho2 = jnp.maximum(jnp.sum(dx * dx, -1), jnp.sum(dy * dy, -1))
+    level = 0.5 * jnp.log2(jnp.maximum(rho2, 1.0))
+    level = jnp.where(covered, level, 0.0)
+    return jnp.clip(level.astype(jnp.int32), 0, n_levels - 1)
+
+
 def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07, 0.1)):
     """Deferred shading: texture sample x interpolated vertex color.
 
     gbuffer: dict with 'depth' [H,W], 'color' [H,W,3], 'uv' [H,W,2],
     'mat' [H,W] i32, 'covered' [H,W] bool.
-    textures: [NT, TH, TW, 3] f32 texture array (None -> vertex color only).
+    textures: [NT, TH, TW, 3] f32 texture array, or a MipTextures pool for
+    mip-mapped sampling (None -> vertex color only).
     """
     color = gbuffer["color"]
     covered = gbuffer["covered"]
@@ -558,20 +600,54 @@ def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07
         mat = jnp.clip(gbuffer["mat"], 0, materials.texture_id.shape[0] - 1)
         tex_id = materials.texture_id[mat]
         tint = materials.tint[mat]
-        nt, th, tw, _ = textures.shape
         uv = gbuffer["uv"]
-        u = uv[..., 0] * tw - 0.5
-        v = uv[..., 1] * th - 0.5
-        u0 = jnp.floor(u)
-        v0 = jnp.floor(v)
-        fu = (u - u0)[..., None]
-        fv = (v - v0)[..., None]
+        if isinstance(textures, MipTextures):
+            from scx.assets.textures import mip_layout
 
-        def tap(du, dv):
-            ui = jnp.clip(u0.astype(jnp.int32) + du, 0, tw - 1)
-            vi = jnp.clip(v0.astype(jnp.int32) + dv, 0, th - 1)
+            nt = textures.quads.shape[0]
             safe_tex = jnp.clip(tex_id, 0, nt - 1)
-            return textures[safe_tex, vi, ui]
+            offsets, sizes = mip_layout(textures.size)
+            off_t = jnp.asarray(offsets[:-1], jnp.int32)
+            sz_t = jnp.asarray(sizes, jnp.int32)
+            level = _uv_mip_level(uv, covered, textures.size, len(sizes))
+            sz = sz_t[level]                     # [H,W] i32
+            szf = sz.astype(jnp.float32)
+            base = off_t[level]
+            # REPEAT addressing (the reference's samplers default to repeat,
+            # sc_assets.cpp sampler create); derivatives above use the
+            # unwrapped uv so tiling doesn't poison the level
+            uvw = uv - jnp.floor(uv)
+            u = uvw[..., 0] * szf - 0.5
+            v = uvw[..., 1] * szf - 0.5
+            ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, sz - 1)
+            vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, sz - 1)
+            fu = jnp.clip(u - ui.astype(jnp.float32), 0.0, 1.0)[..., None]
+            fv = jnp.clip(v - vi.astype(jnp.float32), 0.0, 1.0)[..., None]
+            quad = textures.quads[safe_tex, base + vi * sz + ui]  # [H,W,12]
+            bilinear = (
+                quad[..., 0:3] * (1 - fu) * (1 - fv)
+                + quad[..., 3:6] * fu * (1 - fv)
+                + quad[..., 6:9] * (1 - fu) * fv
+                + quad[..., 9:12] * fu * fv
+            )
+            textured = jnp.where((tex_id >= 0)[..., None], bilinear, 1.0)
+            color = color * textured * tint
+            bg = jnp.asarray(background)
+            return jnp.where(covered[..., None], color, bg)
+        else:
+            nt, th, tw, _ = textures.shape
+            safe_tex = jnp.clip(tex_id, 0, nt - 1)
+            u = uv[..., 0] * tw - 0.5
+            v = uv[..., 1] * th - 0.5
+            u0 = jnp.floor(u)
+            v0 = jnp.floor(v)
+            fu = (u - u0)[..., None]
+            fv = (v - v0)[..., None]
+
+            def tap(du, dv):
+                ui = jnp.clip(u0.astype(jnp.int32) + du, 0, tw - 1)
+                vi = jnp.clip(v0.astype(jnp.int32) + dv, 0, th - 1)
+                return textures[safe_tex, vi, ui]
 
         bilinear = (
             tap(0, 0) * (1 - fu) * (1 - fv)
@@ -604,11 +680,15 @@ def render_frame(
         cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
             aabb, valid, params.max_tris, setup
         )
-        zsort = cl_zmin if params.sort_draws else None
+        c_aabb, c_valid, c_zmin, order = rc.compact_clusters(
+            cl_aabb, cl_valid, cl_zmin
+        )
+        zsort = c_zmin if params.sort_draws else None
         cl_ids, cl_counts = rc.bin_clusters(
-            cl_aabb, cl_valid, params, params.max_clusters_per_tile,
+            c_aabb, c_valid, params, params.max_clusters_per_tile,
             cl_zmin=zsort,
         )
+        cl_ids = order[cl_ids]  # back to original cluster ids for the DMA
         gbuffer = rc.rasterize_clusters(
             setup, cl_ids, cl_counts, params, params.max_clusters_per_tile,
             cl_zmin=cl_zmin,
