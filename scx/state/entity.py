@@ -108,6 +108,10 @@ class TrafficState:
     stuck_timer: jax.Array     # [N] f32
     sensor_hit_dist: jax.Array # [N] f32
     sensor_hit_type: jax.Array # [N] i32 TrafficHitType
+    # lane-change cooldown: the reference declares the field but never
+    # implements the behaviour (TrafficVehicle, sc_traffic_common.h:38-44);
+    # here it gates the vectorized lane-change in scx.traffic.ai
+    lane_cooldown: jax.Array   # [N] f32 seconds until next change allowed
 
 
 @struct.dataclass
@@ -163,11 +167,13 @@ class EntityState:
 def alloc_entity_state(capacity: int) -> EntityState:
     """Fresh, empty world with fixed capacity (entity reserve analogue,
     reference src/sandbox/src/main.cpp:63-64)."""
+    from scx.core import memtrack
+
     n = capacity
     f3 = jnp.zeros((n, 3), jnp.float32)
     f1 = jnp.zeros((n,), jnp.float32)
     quat = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
-    return EntityState(
+    state = EntityState(
         alive=jnp.zeros((n,), jnp.bool_),
         generation=jnp.zeros((n,), jnp.uint32),
         components=jnp.zeros((n,), jnp.uint32),
@@ -212,6 +218,7 @@ def alloc_entity_state(capacity: int) -> EntityState:
             stuck_timer=f1,
             sensor_hit_dist=f1,
             sensor_hit_type=jnp.zeros((n,), jnp.int32),
+            lane_cooldown=jnp.zeros((n,), jnp.float32),
         ),
         vehicle=VehicleState(
             mass=jnp.full((n,), 1200.0, jnp.float32),
@@ -236,6 +243,10 @@ def alloc_entity_state(capacity: int) -> EntityState:
             wheel_omega=jnp.zeros((n, 4), jnp.float32),
         ),
     )
+    memtrack.track_array(
+        memtrack.TAG_STATE, state, f"EntityState[{capacity}]"
+    )
+    return state
 
 
 def entity_count(state: EntityState):

@@ -65,28 +65,15 @@ def traffic_ai_update(
     is_a = is_agent & (tr.mode == TRAFFIC_PHYSICS)
     is_bc = is_agent & (tr.mode != TRAFFIC_PHYSICS)
 
-    # lane (re)acquisition: invalid lanes always; tier A every step
-    # (sc_traffic_ai.cpp:264-271, 426-432)
+    # lane (re)acquisition: invalid lanes always; tier A every step unless a
+    # fresh lane change is in flight (the cooldown pins the chosen lane so
+    # nearest-lane doesn't snap straight back) (sc_traffic_ai.cpp:264-271)
     q_lane, q_s, _ = jax.vmap(lambda p: ln.nearest_lane(lanes, p))(pos)
-    need = is_agent & ((tr.lane_id < 0) | is_a)
+    need = is_agent & ((tr.lane_id < 0) | (is_a & (tr.lane_cooldown <= 0.0)))
     lane_id = jnp.where(need, q_lane, tr.lane_id)
     lane_s = jnp.where(need, q_s, tr.lane_s)
 
-    # look-ahead steering target
-    tgt_pos, _, tgt_ok = jax.vmap(
-        lambda lid, s, d: ln.look_ahead_point(lanes, lid, s, d)
-    )(lane_id, lane_s, tr.look_ahead)
-    to_tgt = (tgt_pos - pos) * jnp.asarray([1.0, 0.0, 1.0])
-    desired_yaw = yaw_from_dir(m3.safe_normalize(to_tgt))
     current_yaw = yaw_of_quat(state.transform.rot)
-    max_steer = jnp.maximum(0.1, state.vehicle.max_steer)
-    steer = jnp.clip(wrap_angle(desired_yaw - current_yaw) / max_steer, -1.0, 1.0)
-
-    safe_lane = jnp.maximum(lane_id, 0)
-    desired_speed = jnp.maximum(
-        lanes.seg_speed[safe_lane] * cfg.speed_multiplier, 0.0
-    )
-    desired_speed = jnp.where(tgt_ok & (lane_id >= 0), desired_speed, 0.0)
 
     # forward sensor (sc_traffic_ai.cpp:301-347)
     fwd = jnp.stack(
@@ -119,6 +106,58 @@ def traffic_ai_update(
         hit_type = jnp.zeros((n,), jnp.int32)
         obstacle_brake = jnp.zeros((n,))
 
+    # --- lane change: blocked behind a vehicle -> hop to the parallel
+    # neighbour lane if its slot is clear (extension: the reference declares
+    # the cooldown field but never implements it, sc_traffic_common.h:38-44)
+    lane_cooldown = jnp.maximum(tr.lane_cooldown - dt, 0.0)
+    if cfg.lane_change_enabled:
+        alt_lane, alt_s, alt_ok = jax.vmap(
+            lambda p, f, cl: ln.adjacent_lane(
+                lanes, p, f, cl,
+                min_dist=cfg.lane_change_min_dist,
+                max_dist=cfg.lane_change_max_dist,
+            )
+        )(pos, fwd, lane_id)
+        # clearance at the target point: nearest other agent must be beyond
+        # the gap ([N,N] masked sweep — capacity-sized, fine on TPU)
+        safe_alt = jnp.maximum(alt_lane, 0)
+        alt_pos = lanes.node_pos[lanes.seg_start[safe_alt]] + (
+            lanes.seg_dir[safe_alt] * alt_s[:, None]
+        )
+        d2 = jnp.sum((alt_pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        other = is_agent[None, :] & (
+            jnp.arange(n)[:, None] != jnp.arange(n)[None, :]
+        )
+        gap2 = jnp.min(jnp.where(other, d2, jnp.inf), axis=1)
+        gap_ok = gap2 > cfg.lane_change_gap**2
+        do_change = (
+            is_agent
+            & (lane_id >= 0)
+            & (hit_type == HIT_VEHICLE)
+            & (obstacle_brake > cfg.lane_change_min_block)
+            & (lane_cooldown <= 0.0)
+            & alt_ok
+            & gap_ok
+        )
+        lane_id = jnp.where(do_change, alt_lane, lane_id)
+        lane_s = jnp.where(do_change, alt_s, lane_s)
+        lane_cooldown = jnp.where(do_change, cfg.lane_change_cooldown, lane_cooldown)
+
+    # look-ahead steering target
+    tgt_pos, _, tgt_ok = jax.vmap(
+        lambda lid, s, d: ln.look_ahead_point(lanes, lid, s, d)
+    )(lane_id, lane_s, tr.look_ahead)
+    to_tgt = (tgt_pos - pos) * jnp.asarray([1.0, 0.0, 1.0])
+    desired_yaw = yaw_from_dir(m3.safe_normalize(to_tgt))
+    max_steer = jnp.maximum(0.1, state.vehicle.max_steer)
+    steer = jnp.clip(wrap_angle(desired_yaw - current_yaw) / max_steer, -1.0, 1.0)
+
+    safe_lane = jnp.maximum(lane_id, 0)
+    desired_speed = jnp.maximum(
+        lanes.seg_speed[safe_lane] * cfg.speed_multiplier, 0.0
+    )
+    desired_speed = jnp.where(tgt_ok & (lane_id >= 0), desired_speed, 0.0)
+
     # --- Tier A: P-control into VehicleInput (sc_traffic_ai.cpp:351-394) ---
     speed_a = tr.speed  # vehicle post-step writes real speed here
     speed_err = desired_speed - speed_a
@@ -142,11 +181,16 @@ def traffic_ai_update(
         lambda lid, s, d: ln.advance_along_lane(lanes, lid, s, d)
     )(lane_id, lane_s, travel)
     move = is_bc & adv_ok
-    new_pos = jnp.where(
-        move[:, None],
-        jnp.stack([adv_pos[:, 0], pos[:, 1], adv_pos[:, 2]], -1),
-        pos,
+    # displacement clamp: after a lane change the lane point is ~a lane
+    # width to the side; capping the per-step move makes the car glide over
+    # (normal advance has |move| <= travel, so the cap never binds there)
+    step_vec = jnp.stack(
+        [adv_pos[:, 0] - pos[:, 0], jnp.zeros((n,)), adv_pos[:, 2] - pos[:, 2]], -1
     )
+    step_len = jnp.sqrt(jnp.sum(step_vec * step_vec, -1))
+    cap = travel + 3.0 * dt  # 3 m/s lateral convergence
+    scale = jnp.minimum(1.0, cap / jnp.maximum(step_len, 1e-6))
+    new_pos = jnp.where(move[:, None], pos + step_vec * scale[:, None], pos)
     new_yaw = yaw_from_dir(adv_dir)
     yaw_quat = m3.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), new_yaw)
     new_rot = jnp.where(move[:, None], yaw_quat, state.transform.rot)
@@ -171,5 +215,6 @@ def traffic_ai_update(
             stuck_timer=jnp.where(is_agent, stuck_timer, 0.0),
             sensor_hit_dist=jnp.where(is_agent, hit_dist, 0.0),
             sensor_hit_type=jnp.where(is_agent, hit_type, HIT_NONE),
+            lane_cooldown=jnp.where(is_agent, lane_cooldown, 0.0),
         ),
     )

@@ -232,6 +232,49 @@ def nearest_lane(lanes: LaneArrays, pos):
     )
 
 
+def adjacent_lane(
+    lanes: LaneArrays,
+    pos,
+    fwd,
+    cur_lane,
+    min_dist: float = 1.5,
+    max_dist: float = 5.5,
+    min_dot: float = 0.85,
+):
+    """Nearest PARALLEL lane beside the agent — the lane-change target.
+
+    Same column-form segment sweep as nearest_lane, restricted to active
+    segments other than cur_lane whose direction agrees with the agent's
+    heading (dot > min_dot) at a lateral distance inside [min_dist,
+    max_dist].  Returns (lane_id, s, ok).
+    """
+    a = lanes.node_pos[lanes.seg_start]            # [Ls,3]
+    ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    dx, dy, dz = lanes.seg_dir[:, 0], lanes.seg_dir[:, 1], lanes.seg_dir[:, 2]
+    rx, ry, rz = pos[0] - ax, pos[1] - ay, pos[2] - az
+    t = jnp.clip(rx * dx + ry * dy + rz * dz, 0.0, lanes.seg_len)
+    ex, ey, ez = rx - dx * t, ry - dy * t, rz - dz * t
+    dist = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    par = dx * fwd[0] + dy * fwd[1] + dz * fwd[2]
+    idx = jnp.arange(lanes.seg_len.shape[0], dtype=jnp.int32)
+    valid = (
+        lanes.seg_active
+        & (lanes.seg_len > 1e-5)
+        & (idx != cur_lane)
+        & (par > min_dot)
+        & (dist >= min_dist)
+        & (dist <= max_dist)
+    )
+    score = jnp.where(valid, dist, jnp.inf)
+    best = jnp.argmin(score)
+    ok = jnp.isfinite(score[best])
+    return (
+        jnp.where(ok, best.astype(jnp.int32), INVALID_LANE),
+        jnp.where(ok, t[best], 0.0),
+        ok,
+    )
+
+
 def _choose_next(lanes: LaneArrays, dir, node_idx):
     """Best direction-dot continuation among the end node's connections
     (sc_traffic_lanes.cpp:139-155)."""

@@ -272,3 +272,67 @@ def test_authored_spawn_points_preferred(tmp_path):
     d = np.abs(pos - np.asarray([20.0, 0.35, 8.0])).max(-1)
     assert d.min() < 1e-3, pos
     wp.shutdown()
+
+
+def test_lane_change_around_blocker():
+    """Blocked behind a stopped vehicle -> hop to the parallel lane, glide
+    over without teleporting, cooldown set (extension of the reference's
+    declared-but-unimplemented laneChangeCooldown, sc_traffic_common.h:38-44)."""
+    from scx.core import math3d as m3
+    from scx.physics.world import bodies_from_state
+
+    b = tl.LaneGraphBuilder(max_nodes=32, max_segments=16)
+    n0 = b.add_node((0.0, 0.0, 0.0), (1.0, 0.0, 0.0))
+    n1 = b.add_node((100.0, 0.0, 0.0), (1.0, 0.0, 0.0))
+    lane0 = b.add_segment(n0, n1, (1.0, 0.0, 0.0), (0, 0))
+    m0 = b.add_node((0.0, 0.0, 3.5), (1.0, 0.0, 0.0))
+    m1 = b.add_node((100.0, 0.0, 3.5), (1.0, 0.0, 0.0))
+    lane1 = b.add_segment(m0, m1, (1.0, 0.0, 0.0), (0, 0))
+    arr = b.to_arrays()
+    cfg = TrafficConfig()
+
+    s = st.alloc_entity_state(8)
+    face_x = m3.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), jnp.pi / 2)
+    # agent 0: tier C on lane0 at s=10, facing +X, rolling
+    s = s.replace(
+        alive=s.alive.at[0].set(True).at[1].set(True),
+        traffic=s.traffic.replace(
+            mode=s.traffic.mode.at[0].set(st.TRAFFIC_ONRAILS),
+            lane_id=s.traffic.lane_id.at[0].set(lane0),
+            lane_s=s.traffic.lane_s.at[0].set(10.0),
+            speed=s.traffic.speed.at[0].set(8.0),
+        ),
+        transform=s.transform.replace(
+            pos=s.transform.pos.at[0].set(jnp.asarray([10.0, 0.0, 0.0]))
+            .at[1].set(jnp.asarray([19.0, 0.5, 0.0])),
+            rot=s.transform.rot.at[0].set(face_x),
+        ),
+        body=s.body.replace(
+            body_type=s.body.body_type.at[1].set(st.BODY_DYNAMIC),
+            mass=s.body.mass.at[1].set(1200.0),
+            half_extents=s.body.half_extents.at[1].set(
+                jnp.asarray([1.0, 0.8, 2.0])
+            ),
+        ),
+    )
+    is_vehicle = jnp.zeros(8, bool).at[1].set(True)
+    dt = 1.0 / 60.0
+    step = jax.jit(
+        lambda ss: tai.traffic_ai_update(
+            ss, arr, bodies_from_state(ss), is_vehicle, cfg, dt
+        )
+    )
+    s1 = step(s)
+    assert int(s1.traffic.sensor_hit_type[0]) == tai.HIT_VEHICLE
+    assert int(s1.traffic.lane_id[0]) == lane1, "should hop to the parallel lane"
+    assert float(s1.traffic.lane_cooldown[0]) > 3.0
+    # glide: never a >1m jump, converges to the new lane's z
+    prev = np.asarray(s1.transform.pos[0])
+    s = s1
+    for _ in range(240):
+        s = step(s)
+        cur = np.asarray(s.transform.pos[0])
+        assert np.linalg.norm(cur - prev) < 1.0
+        prev = cur
+    assert abs(float(s.transform.pos[0, 2]) - 3.5) < 0.3
+    assert int(s.traffic.lane_id[0]) == lane1
