@@ -377,7 +377,9 @@ class Sandbox:
             self._cam_target,
             self._cam_fov,
             self.assets.device_materials(),
-            self.assets.device_pool(),
+            self.assets.device_pool_mips()
+            if self.cfg.render.use_mips
+            else self.assets.device_pool(),
         )
         # immediate-mode debug lines accumulated since last frame
         # (DebugDrawSystem runs after the scene pass, sc_imgui.cpp overlay)
@@ -421,6 +423,16 @@ class Sandbox:
             t.jobs_dispatched = js.dispatched + js.async_jobs
             t.jobs_completed = js.completed
             t.jobs_busy_ms = js.busy_ms
+        # tagged memory telemetry (reference memtrack, sc_memtrack.cpp:38-78)
+        from scx.core import memtrack
+
+        t.mem_tags = {k: c.live_bytes for k, c in memtrack.snapshot().items()}
+        t.mem_live_bytes = sum(t.mem_tags.values())
+        t.host_rss_bytes = memtrack.host_rss_bytes()
+        if self.frame_no % 60 == 1:  # HBM stats query is a host<->device hop
+            dm = memtrack.device_memory_stats()
+            self._hbm_bytes = int(dm.get("bytes_in_use", 0))
+        t.device_hbm_bytes = getattr(self, "_hbm_bytes", 0)
 
     def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
         """One engine frame through the scheduler; returns (rgb, telemetry)."""
@@ -455,6 +467,13 @@ class Sandbox:
                     time.perf_counter() - t0
                 ) * 1e3
         t = self.telemetry.end_frame()
+        # in-framebuffer debug overlay (the reference's ImGui window,
+        # sc_imgui.cpp:186-629) — stamps LAST frame's completed stats
+        if self.cfg.render.overlay_text:
+            from scx.render.debug_text import stamp_text, text_to_codes
+
+            codes = text_to_codes(self.telemetry.format_overlay(), max_cols=96)
+            self._frame_rgb = stamp_text(self._frame_rgb, codes)
         return self._frame_rgb, t
 
     def shutdown(self):

@@ -67,6 +67,12 @@ class FrameTelemetry:
     # top host scopes (name, ms)
     top_scopes: list = field(default_factory=list)
 
+    # memory (memtrack mirror, sc_memtrack.h:6-25 + device/host truth)
+    mem_tags: dict = field(default_factory=dict)  # tag -> live bytes
+    mem_live_bytes: int = 0
+    device_hbm_bytes: int = 0
+    host_rss_bytes: int = 0
+
 
 class TelemetryHub:
     """Collects one FrameTelemetry per frame; keeps a short history."""
@@ -123,4 +129,14 @@ class TelemetryHub:
             lines.append(
                 "scopes: " + "  ".join(f"{n} {ms:.2f}ms" for n, ms in t.top_scopes)
             )
+        if t.mem_tags:
+            tags = "  ".join(
+                f"{k} {v / 1048576.0:.1f}" for k, v in sorted(t.mem_tags.items())
+            )
+            mem = f"mem MiB: {tags}"
+            if t.device_hbm_bytes:
+                mem += f"  | HBM {t.device_hbm_bytes / 1048576.0:.1f}"
+            if t.host_rss_bytes:
+                mem += f"  RSS {t.host_rss_bytes / 1048576.0:.1f}"
+            lines.append(mem)
         return "\n".join(lines)
