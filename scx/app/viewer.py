@@ -39,6 +39,82 @@ def scripted_input(frame: int) -> tuple:
     return (0.8, 0.0, steer, 0.0)
 
 
+def frame_to_ansi(rgb, cols: int = 100) -> str:
+    """Terminal rendering: half-block chars, 2 pixels per cell, 24-bit color.
+
+    The interactive stand-in for the reference's SDL window — works over
+    any ssh terminal."""
+    arr = np.clip(np.asarray(rgb) * 255.0, 0, 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    rows = max(2, int(cols * h / w / 2) * 2)
+    ys = (np.arange(rows) * h // rows).clip(0, h - 1)
+    xs = (np.arange(cols) * w // cols).clip(0, w - 1)
+    img = arr[ys][:, xs]
+    out = []
+    for r in range(0, rows - 1, 2):
+        line = []
+        for c in range(cols):
+            tr, tg, tb = img[r, c]
+            br, bg_, bb = img[r + 1, c]
+            line.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀"
+            )
+        out.append("".join(line) + "\x1b[0m")
+    return "\n".join(out)
+
+
+class TerminalInput:
+    """Non-blocking WASD/space keyboard pump (cbreak tty; the reference's
+    SDL event pump, sc_app.cpp:12-90). Keys decay after a few frames so
+    auto-repeat feels like held keys."""
+
+    HOLD = 6  # frames a keypress stays asserted
+
+    def __init__(self):
+        import sys as _sys
+
+        self._held: dict[str, int] = {}
+        self.quit = False
+        self._fd = None
+        self._old = None
+        if _sys.stdin.isatty():
+            import termios
+            import tty
+
+            self._fd = _sys.stdin.fileno()
+            self._old = termios.tcgetattr(self._fd)
+            tty.setcbreak(self._fd)
+
+    def pump(self) -> tuple:
+        import select
+        import sys as _sys
+
+        while self._fd is not None:
+            r, _, _ = select.select([_sys.stdin], [], [], 0)
+            if not r:
+                break
+            ch = _sys.stdin.read(1).lower()
+            if ch == "q":
+                self.quit = True
+            self._held[ch] = self.HOLD
+        for k in list(self._held):
+            self._held[k] -= 1
+            if self._held[k] <= 0:
+                del self._held[k]
+        h = self._held
+        throttle = 1.0 if "w" in h else 0.0
+        brake = 1.0 if "s" in h else 0.0
+        steer = (1.0 if "d" in h else 0.0) - (1.0 if "a" in h else 0.0)
+        handbrake = 1.0 if " " in h else 0.0
+        return (throttle, brake, steer, handbrake)
+
+    def close(self):
+        if self._fd is not None and self._old is not None:
+            import termios
+
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
@@ -47,6 +123,11 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=352)
     ap.add_argument("--capacity", type=int, default=4096)
+    ap.add_argument(
+        "--interactive", action="store_true",
+        help="render to the terminal (ANSI half-blocks), WASD+space drive, q quits",
+    )
+    ap.add_argument("--term-cols", type=int, default=110)
     args = ap.parse_args(argv)
 
     from scx.app import Sandbox
@@ -65,14 +146,28 @@ def main(argv=None):
         ),
     )
     saved = []
-    for i in range(args.frames):
-        rgb, tel = sb.frame(player_input=scripted_input(i))
-        if i % args.every == 0:
-            saved.append(save_frame(os.path.join(args.out, f"frame_{i:04d}"), rgb))
-            print(sb.telemetry.format_overlay())
-            print("->", saved[-1], flush=True)
+    term = TerminalInput() if args.interactive else None
+    try:
+        for i in range(args.frames):
+            inp = term.pump() if term else scripted_input(i)
+            rgb, tel = sb.frame(player_input=inp)
+            if term:
+                print("\x1b[H\x1b[2J" + frame_to_ansi(rgb, args.term_cols))
+                print(sb.telemetry.format_overlay(), flush=True)
+                if term.quit:
+                    break
+            elif i % args.every == 0:
+                saved.append(
+                    save_frame(os.path.join(args.out, f"frame_{i:04d}"), rgb)
+                )
+                print(sb.telemetry.format_overlay())
+                print("->", saved[-1], flush=True)
+    finally:
+        if term:
+            term.close()
     sb.shutdown()
-    print(f"saved {len(saved)} frames to {args.out}")
+    if not args.interactive:
+        print(f"saved {len(saved)} frames to {args.out}")
 
 
 if __name__ == "__main__":
