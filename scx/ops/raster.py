@@ -213,12 +213,18 @@ def rasterize_tiles_batched(binned, counts, params) -> dict:
     th, tw = params.tile_h, params.tile_w
     h_pad, w_pad = nty * th, ntx * tw
 
+    n_tiles = nty * ntx
+
     def kernel(count_ref, binned_ref, depth_ref, attr_ref):
         env = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
         _raster_tile_body(
-            count_ref[env, ty * ntx + tx],
+            # counts arrive FLAT [E*n_tiles]: a 2D [E, n_tiles] SMEM operand
+            # pads its last dim to 128 lanes (4096 envs x 8 tiles i32 ->
+            # 2 MiB > the 1 MiB SMEM budget, seen as a real AOT compile
+            # failure); the 1D layout stays at E*n_tiles*4 bytes.
+            count_ref[env * n_tiles + ty * ntx + tx],
             lambda k, f: binned_ref[0, 0, k, f],
             depth_ref, attr_ref, ty, tx, params,
         )
@@ -254,7 +260,9 @@ def rasterize_tiles_batched(binned, counts, params) -> dict:
         ],
         interpret=params.interpret,
     )(
-        jnp.minimum(counts, params.max_tris_per_tile).astype(jnp.int32),
+        jnp.minimum(counts, params.max_tris_per_tile)
+        .astype(jnp.int32)
+        .reshape(e * n_tiles),
         binned,
     )
     h, w = params.height, params.width
