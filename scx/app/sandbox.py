@@ -248,8 +248,23 @@ class Sandbox:
         self._lane_arrays = None
         self.cam_pos = jnp.asarray([0.0, 5.0, -12.0])
         self.frame_no = 0
+        self.paused = False  # physics pause toggle (sc_imgui.cpp:453-484)
         self._pending_lod_despawn = None
         self.scheduler = self._build_scheduler()
+
+    def rebuild_tick(self):
+        """Re-jit the device tick after a live config/sim-params change
+        (the DebugConsole's equivalent of the reference's sliders mutating
+        Bullet state directly — compile-time constants need a recompile)."""
+        self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
+
+    def console(self):
+        """Lazily-built live-tuning console (scx.app.debugui)."""
+        if not hasattr(self, "_console"):
+            from scx.app.debugui import DebugConsole
+
+            self._console = DebugConsole(self)
+        return self._console
 
     # ------------------------------------------------------------------
     def _build_scheduler(self):
@@ -347,6 +362,8 @@ class Sandbox:
 
     def _sys_device_tick(self, ctx):
         t0 = time.perf_counter()
+        if self.paused:  # physics pause (DebugConsole; sc_imgui.cpp:453-462)
+            return
         if self._lane_arrays is None:
             self._lane_arrays = self.lanes.to_arrays()
         self.state, self._cache, despawn, counts = self._tick(
@@ -392,7 +409,12 @@ class Sandbox:
 
     def _sys_telemetry(self, ctx):
         t = self.telemetry.current
-        counts = self._tier_counts
+        # a paused first frame never ran the device tick (DebugConsole)
+        counts = getattr(
+            self, "_tier_counts",
+            {"total": 0, "physics": 0, "kinematic": 0, "onrails": 0,
+             "stuck": 0, "pair_overflow": 0, "contact_overflow": 0},
+        )
         t.entities = self.partition.stats.entities
         t.active_sectors = self.partition.stats.active_sectors
         t.queued_sectors = self.partition.stats.queued

@@ -75,6 +75,7 @@ class TerminalInput:
 
         self._held: dict[str, int] = {}
         self.quit = False
+        self.want_console = False
         self._fd = None
         self._old = None
         if _sys.stdin.isatty():
@@ -96,6 +97,8 @@ class TerminalInput:
             ch = _sys.stdin.read(1).lower()
             if ch == "q":
                 self.quit = True
+            if ch == ":":  # live-tuning console (scx.app.debugui)
+                self.want_console = True
             self._held[ch] = self.HOLD
         for k in list(self._held):
             self._held[k] -= 1
@@ -154,6 +157,15 @@ def main(argv=None):
             if term:
                 print("\x1b[H\x1b[2J" + frame_to_ansi(rgb, args.term_cols))
                 print(sb.telemetry.format_overlay(), flush=True)
+                if term.want_console:
+                    # drop to a line-edited prompt (reference: ImGui panels,
+                    # sc_imgui.cpp:351-554), then back to cbreak
+                    term.close()
+                    try:
+                        print(sb.console().command(input(": ")), flush=True)
+                    except EOFError:
+                        pass
+                    term.__init__()
                 if term.quit:
                     break
             elif i % args.every == 0:
