@@ -670,12 +670,71 @@ def render_frame(
     textures=None,
 ):
     """Full frame: returns (rgb [H,W,3], gbuffer dict, stats dict)."""
-    from scx.ops import raster as raster_ops
-    from scx.ops import raster_clusters as rc
-
     if params.use_clusters and params.sort_draws:
         draws = sort_draws_spatial(draws, view_proj, params)
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
+    return _raster_and_shade(setup, aabb, valid, params, materials, textures)
+
+
+# column indices of the (b, c) pairs of every affine screen plane in the
+# setup buffer: value(x, y) = a*x + b*y + c  (lambda0/1, z, 1/w, rgb, uv)
+_PLANE_OFFSETS = (F_L0, F_L1, F_Z, F_IW, F_COL, F_COL + 3, F_COL + 6,
+                  F_UV, F_UV + 3)
+_PLANE_B_COLS = tuple(o + 1 for o in _PLANE_OFFSETS)
+_PLANE_C_COLS = tuple(o + 2 for o in _PLANE_OFFSETS)
+
+
+def shift_setup_rows(setup, aabb, valid, row0, strip_rows: int):
+    """Translate the screen-space setup down by `row0` pixels (y' = y-row0).
+
+    Every interpolation plane is affine in y, so the translation is
+    c' = c + b*row0 on nine (b, c) column pairs — the full-frame raster
+    kernels then evaluate the strip [row0, row0+strip_rows) at local
+    coordinates unchanged.  `row0` may be traced (lax.axis_index under
+    shard_map).  Triangles fully outside the strip are invalidated (the
+    binners clamp tile ranges, so an off-strip AABB would otherwise land
+    in an edge tile and waste occupancy)."""
+    y0 = jnp.asarray(row0, jnp.float32)
+    b_cols = jnp.asarray(_PLANE_B_COLS, jnp.int32)
+    c_cols = jnp.asarray(_PLANE_C_COLS, jnp.int32)
+    setup = setup.at[:, c_cols].add(setup[:, b_cols] * y0)
+    aabb = aabb - jnp.asarray([0.0, 1.0, 0.0, 1.0]) * y0
+    valid = valid & (aabb[:, 3] >= 0.0) & (aabb[:, 1] < strip_rows)
+    return setup, aabb, valid
+
+
+def render_frame_rows(
+    draws: DrawList,
+    pool: MeshPool,
+    view_proj,
+    params: RasterParams,
+    row0,
+    strip_rows: int,
+    materials: Materials | None = None,
+    textures=None,
+):
+    """Spatially-sharded frame: rasterize ONLY rows [row0, row0+strip_rows).
+
+    The 'sp'-axis renderer (one huge frame split across chips, SURVEY §2
+    parallelism item 6): every shard runs the identical (cheap) geometry
+    setup against the FULL viewport, then bins and rasters just its strip
+    of the tile lattice via shift_setup_rows.  strip_rows must be a
+    multiple of tile_h; `params` is the full-frame RasterParams."""
+    import dataclasses as _dc
+
+    strip = _dc.replace(params, height=strip_rows)
+    if params.use_clusters and params.sort_draws:
+        draws = sort_draws_spatial(draws, view_proj, params)
+    setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
+    setup, aabb, valid = shift_setup_rows(setup, aabb, valid, row0, strip_rows)
+    return _raster_and_shade(setup, aabb, valid, strip, materials, textures)
+
+
+def _raster_and_shade(setup, aabb, valid, params, materials, textures):
+    """Bin + rasterize + shade an already-built setup buffer."""
+    from scx.ops import raster as raster_ops
+    from scx.ops import raster_clusters as rc
+
     if params.use_clusters:
         cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
             aabb, valid, params.max_tris, setup
