@@ -11,58 +11,10 @@ from scx.render import pipeline as pipe
 from scx.ops import raster_clusters as rc
 from scx.render.mesh import build_mesh_pool
 
-# --- generate a dense city-chunk mesh: grid of buildings with subdivided
-# facades so the triangle budget (~100k) matches the config ---
-rng = np.random.RandomState(7)
-verts_all, tris_all = [], []
-v_off = 0
-def add_box(cx, cz, w, h, d, sub):
-    global v_off, verts_all, tris_all
-    # subdivided boxes: sub x sub quads per face
-    for axis, sign in [(0,1),(0,-1),(1,1),(2,1),(2,-1)]:  # skip bottom
-        u_axis, v_axis = (axis+1)%3, (axis+2)%3
-        dims = [w, h, d]
-        for i in range(sub):
-            for j in range(sub):
-                u0, u1 = -0.5 + i/sub, -0.5 + (i+1)/sub
-                q0, q1 = -0.5 + j/sub, -0.5 + (j+1)/sub
-                quad = []
-                for (uu, qq) in [(u0,q0),(u1,q0),(u1,q1),(u0,q1)]:
-                    p = [0.,0.,0.]
-                    p[axis] = 0.5*sign
-                    p[u_axis] = uu
-                    p[v_axis] = qq
-                    pw = [p[0]*w+cx, p[1]*h+h/2, p[2]*d+cz]
-                    lum = 0.35 + 0.5*rng.rand()
-                    quad.append(pw + [lum,lum,lum] + [uu+0.5, qq+0.5])
-                base = v_off + len(quad)*0  # local
-                k = len(verts_all)
-                verts_all.extend(quad)
-                if sign > 0:
-                    tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
-                else:
-                    tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
+# dense city-chunk mesh (~100k tris: 22x22 buildings, subdiv-4 facades)
+from cityscene import build_city_mesh
 
-# 12x12 buildings, subdiv 3 -> 12*12*5*9*2 = 12960 tris... need ~100k: subdiv 5: 12*12*5*25*2 = 36000; 20x20 grid subdiv 4: 20*20*5*16*2=64000; 22x22 sub 4 = 77k; add ground grid
-G = 22
-for bi in range(G):
-    for bj in range(G):
-        cx = (bi - G/2) * 14.0 + rng.uniform(-2,2)
-        cz = -bj * 14.0 - 8.0
-        w = rng.uniform(6, 10); d = rng.uniform(6, 10); h = rng.uniform(8, 35)
-        add_box(cx, cz, w, h, d, 4)
-# ground: big grid of quads 40x40 over the area
-GS = 24
-for i in range(GS):
-    for j in range(GS):
-        x0 = (i-GS/2)*16.0; z0 = -j*16.0
-        k = len(verts_all)
-        lum = 0.25
-        for (xx, zz) in [(x0,z0),(x0+16,z0),(x0+16,z0-16),(x0,z0-16)]:
-            verts_all.append([xx, 0.0, zz, lum,lum,lum, (xx-x0)/16, (zz-z0)/-16])
-        tris_all += [[k,k+1,k+2],[k,k+2,k+3]]
-verts = np.asarray(verts_all, np.float32)
-tris = np.asarray(tris_all, np.int32)
+verts, tris = build_city_mesh(grid=22, subdiv=4, ground=24, seed=7)
 print("city chunk:", len(tris), "tris", len(verts), "verts", flush=True)
 
 pool = build_mesh_pool([(verts, tris)])
