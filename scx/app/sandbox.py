@@ -462,6 +462,7 @@ class Sandbox:
 
         from scx.core.jobs import jobs
         from scx.core.timing import ScopedTimer
+        from scx.telemetry import trace
 
         self.frame_no += 1
         self.telemetry.begin_frame(self.frame_no)
@@ -482,8 +483,11 @@ class Sandbox:
             for sysd in self.scheduler.phase_systems(phase):
                 t0 = time.perf_counter()
                 # every system runs under a named scope, like the scheduler's
-                # auto-registered scopes (sc_scheduler.cpp:20)
-                with ScopedTimer(f"System/{sysd.name}"):
+                # auto-registered scopes (sc_scheduler.cpp:20); when a
+                # jax.profiler trace is live the same span lands in it
+                with ScopedTimer(f"System/{sysd.name}"), trace.annotate(
+                    f"System/{sysd.name}"
+                ):
                     sysd.fn(ctx)
                 self.scheduler.stats_ms[sysd.name] = (
                     time.perf_counter() - t0

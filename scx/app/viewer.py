@@ -130,6 +130,10 @@ def main(argv=None):
         "--interactive", action="store_true",
         help="render to the terminal (ANSI half-blocks), WASD+space drive, q quits",
     )
+    ap.add_argument(
+        "--trace", default=None, metavar="LOGDIR",
+        help="capture a jax.profiler trace of the run into LOGDIR",
+    )
     ap.add_argument("--term-cols", type=int, default=110)
     args = ap.parse_args(argv)
 
@@ -150,6 +154,10 @@ def main(argv=None):
     )
     saved = []
     term = TerminalInput() if args.interactive else None
+    if args.trace:
+        from scx.telemetry import trace
+
+        trace.start_trace(args.trace)
     try:
         for i in range(args.frames):
             inp = term.pump() if term else scripted_input(i)
@@ -177,6 +185,9 @@ def main(argv=None):
     finally:
         if term:
             term.close()
+        if args.trace:
+            trace.stop_trace()
+            print(f"trace captured to {args.trace}", flush=True)
     sb.shutdown()
     if not args.interactive:
         print(f"saved {len(saved)} frames to {args.out}")
