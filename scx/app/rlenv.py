@@ -321,22 +321,48 @@ class CityRLEnv:
         )
         return batch, cache, nans, aux
 
-    def rollout(self, actions, length: int = 10):
+    # one device launch is kept under ~this many env-steps: a single XLA
+    # execution running for minutes trips device/transport watchdogs (a
+    # 4096-env x 10-step launch ≈ 70 s reproducibly killed the TPU worker;
+    # the same program at 2048 envs ≈ 34 s runs fine). Chunking bounds
+    # launch duration; aux stays on device between chunks so the host link
+    # only carries the tiny [chunk, N] means per chunk.
+    MAX_ENVSTEPS_PER_LAUNCH = 16384
+
+    def rollout(self, actions, length: int = 10, chunk: int | None = None):
         """Device-chained rollout: `length` full steps (sim + traffic +
-        render) inside ONE jit, observations consumed on device.
+        render) scanned inside a jit, observations consumed on device.
 
         This is the deployment shape when the policy lives on the same
         chip (obs never cross the host link); `step()` pays a host
         round-trip per call, which dominates through remote/tunneled
-        device transports. Returns (obs_means [L,N], rewards [L,N]).
+        device transports. Long rollouts are split into device launches of
+        at most `chunk` steps (default sized off MAX_ENVSTEPS_PER_LAUNCH).
+        Returns (obs_means [L,N], rewards [L,N]).
         """
+        if chunk is None:
+            chunk = max(1, self.MAX_ENVSTEPS_PER_LAUNCH // self.n_envs)
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self._rollout_impl, static_argnums=3)
-        self.state, self.cache, nans, aux = self._rollout_jit(
-            self.state, self.cache, jnp.asarray(actions, jnp.float32), length
-        )
-        self.last_info = {"nan_rollbacks": int(nans), "pair_overflow": 0}
-        return aux
+        actions = jnp.asarray(actions, jnp.float32)
+        nan_parts = []  # kept on device: no host sync between launches
+        auxes = []
+        done = 0
+        while done < length:
+            step_n = min(chunk, length - done)
+            self.state, self.cache, nans, aux = self._rollout_jit(
+                self.state, self.cache, actions, step_n
+            )
+            auxes.append(aux)
+            nan_parts.append(nans)
+            done += step_n
+        self.last_info = {
+            "nan_rollbacks": int(sum(int(n) for n in nan_parts)),
+            "pair_overflow": 0,
+        }
+        if len(auxes) == 1:
+            return auxes[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *auxes)
 
     def rollout_sharded(self, actions, length: int = 10, mesh=None):
         """Multi-chip rollout: the env axis sharded over the mesh's 'dp'

@@ -93,3 +93,20 @@ def test_rlenv_rollout_matches_stepping():
         rtol=1e-5, atol=1e-6,
     )
     assert obs_means.shape == (3, 2)
+
+
+def test_rlenv_rollout_chunked_matches_single_launch():
+    """Chunked device launches (watchdog guard) == one long launch."""
+    import numpy as np
+
+    e1 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
+    e2 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
+    acts = np.tile(np.asarray([[0.8, 0.0, 0.1, 0.0]], np.float32), (2, 1))
+    m1, r1 = e1.rollout(acts, length=5)          # single launch (default)
+    m2, r2 = e2.rollout(acts, length=5, chunk=2)  # launches of 2+2+1
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e1.state.transform.pos), np.asarray(e2.state.transform.pos),
+        rtol=1e-5, atol=1e-6,
+    )
