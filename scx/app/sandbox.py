@@ -221,6 +221,22 @@ class Sandbox:
         self.assets.create_material("materials/checker", albedo_texture=chk)
         self.assets.create_material("materials/test", albedo_texture=tst)
 
+        # registry-driven GLB content for authored worlds: meshes bake into
+        # the device pool, materials/textures register with the asset
+        # manager (after the 3 builtin material slots so procedural ids
+        # keep resolving to 0/1/2), streaming resolves registry ids first
+        # (sc_world_partition.cpp:746-797)
+        self.content = None
+        if world_root is not None:
+            from scx.assets.content import load_world_content
+
+            self.content = load_world_content(world_root, self.assets)
+        if self.content is not None:
+            self.mesh_pool = build_mesh_pool(self.content.meshes)
+            self.partition.asset_resolver = self.content.resolver(
+                self.partition.asset_resolver
+            )
+
         # player vehicle in the last slot (streaming fills from the bottom)
         self.player_slot = capacity - 1
         self.state = spawn_player_vehicle(self.state, self.player_slot)
