@@ -107,6 +107,7 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
             )
         )
         player_pos = state.transform.pos[player_idx]
+        pos_before = state.transform.pos  # health monitor baseline
 
         # Simulation phase: traffic LOD
         state, despawn = traffic_lod_update(state, player_pos, tcfg)
@@ -143,6 +144,25 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
 
         counts = dict(tier_counts(state))
         counts.update(acc)
+        # state-health monitor — the TPU-shape analogue of the reference's
+        # visual/physics desync detector (sc_traffic_ai.cpp:573-583): with
+        # one authoritative pose there is no desync to detect, but the
+        # failure it CAUGHT (solver blow-ups) shows up as non-finite state
+        # or teleport-scale displacement in one tick; surfaced as counters
+        # and rate-limit-warned by the host (SURVEY §5.3).
+        alive = state.alive
+        pos = state.transform.pos
+        vel = state.body.vel
+        finite = (
+            jnp.isfinite(pos).all(axis=-1)
+            & jnp.isfinite(vel).all(axis=-1)
+            & (jnp.abs(pos).max(axis=-1) < 1e6)
+        )
+        counts["invalid_state"] = jnp.sum((alive & ~finite).astype(jnp.int32))
+        moved = jnp.sqrt(jnp.sum((pos - pos_before) ** 2, axis=-1))
+        counts["teleports"] = jnp.sum(
+            (alive & finite & (moved > 50.0)).astype(jnp.int32)
+        )
         return state, cache, despawn, counts
 
     return tick
@@ -445,6 +465,35 @@ class Sandbox:
         t.broadphase_pairs = int(counts.get("pairs", 0))
         t.pair_overflow = int(counts.get("pair_overflow", 0))
         t.contacts = int(counts.get("contacts", 0))
+        t.invalid_state = int(counts.get("invalid_state", 0))
+        t.teleports = int(counts.get("teleports", 0))
+        # runtime invariant monitors with timed warn logs (the reference's
+        # stuck-traffic + desync warns, sc_traffic_ai.cpp:396-424, 573-583)
+        from scx.core.log import warn_rate_limited
+
+        if t.traffic_stuck:
+            warn_rate_limited(
+                "traffic.stuck", 5.0,
+                "traffic: %d agents stuck >1s", t.traffic_stuck,
+            )
+        if t.invalid_state:
+            warn_rate_limited(
+                "state.invalid", 2.0,
+                "state health: %d entities with non-finite pos/vel",
+                t.invalid_state,
+            )
+        if t.teleports:
+            warn_rate_limited(
+                "state.teleport", 2.0,
+                "state health: %d entities moved >50m in one tick",
+                t.teleports,
+            )
+        if t.pair_overflow:
+            warn_rate_limited(
+                "physics.pair_overflow", 5.0,
+                "physics: broadphase dropped %d candidate pairs (max_pairs)",
+                t.pair_overflow,
+            )
         if self.spawner is not None:
             t.traffic_spawns = self.spawner.spawns_this_frame
         t.visible = int(self._render_stats["visible"])

@@ -54,6 +54,10 @@ class FrameTelemetry:
     broadphase_pairs: int = 0
     pair_overflow: int = 0  # candidates dropped at the max_pairs cap
 
+    # state health (SURVEY §5.3: the desync/blow-up monitor analogue)
+    invalid_state: int = 0  # alive entities w/ non-finite pos/vel
+    teleports: int = 0      # alive entities moving >50 m in one tick
+
     # assets (AssetStats mirror)
     resident_textures: int = 0
     resident_bytes: int = 0
@@ -125,6 +129,11 @@ class TelemetryHub:
             f"physics pairs {t.broadphase_pairs} contacts {t.contacts}"
             + (f"  PAIR OVERFLOW {t.pair_overflow}" if t.pair_overflow else ""),
         ]
+        if t.invalid_state or t.teleports:
+            lines.append(
+                f"STATE HEALTH: invalid {t.invalid_state} "
+                f"teleports {t.teleports}"
+            )
         if t.top_scopes:
             lines.append(
                 "scopes: " + "  ".join(f"{n} {ms:.2f}ms" for n, ms in t.top_scopes)

@@ -111,3 +111,36 @@ def test_physics_telemetry_in_frame(sandbox):
     # the driving player on the streamed ground produces real contacts
     assert tel.broadphase_pairs > 0
     assert tel.pair_overflow == 0
+
+
+def test_state_health_monitor_flags_nan(sandbox):
+    """SURVEY §5.3: a blown-up entity state is surfaced (and rate-limit
+    warned), the TPU-shape analogue of the reference's desync detector."""
+    import jax.numpy as jnp
+
+    rgb, tel = sandbox.frame()
+    assert tel.invalid_state == 0
+    # inject a NaN velocity into a live non-player slot
+    import numpy as np
+
+    alive = np.where(np.asarray(sandbox.state.alive))[0]
+    victim = int(alive[0])
+    sandbox.state = sandbox.state.replace(
+        body=sandbox.state.body.replace(
+            vel=sandbox.state.body.vel.at[victim].set(jnp.nan)
+        )
+    )
+    rgb, tel = sandbox.frame()
+    assert tel.invalid_state >= 1
+    assert "STATE HEALTH" in sandbox.telemetry.format_overlay()
+    # heal it so later tests in the module see a clean scene
+    sandbox.state = sandbox.state.replace(
+        body=sandbox.state.body.replace(
+            vel=sandbox.state.body.vel.at[victim].set(0.0)
+        ),
+        transform=sandbox.state.transform.replace(
+            pos=sandbox.state.transform.pos.at[victim].set(
+                jnp.asarray([0.0, 0.5, 0.0])
+            )
+        ),
+    )
