@@ -10,8 +10,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-CACHE = "/tmp/raster_micro_inputs.npz"
 KC = 256
+# cache is keyed on the tile lattice: ids/counts are per-tile, so a stale
+# file built under a different default tile shape silently mis-bins
+import scx.render as _rd
+_tile = f"{_rd.RasterParams().tile_h}x{_rd.RasterParams().tile_w}"
+CACHE = f"/tmp/raster_micro_inputs_{_tile}.npz"
 
 from scx import render as rd
 from scx.ops import raster_clusters as rc

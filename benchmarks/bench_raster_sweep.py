@@ -14,7 +14,10 @@ from scx import render as rd
 from scx.render import pipeline as pipe
 from scx.ops import raster_clusters as rc
 
-d = np.load("/tmp/raster_micro_inputs.npz")
+import glob as _glob
+_c = sorted(_glob.glob("/tmp/raster_micro_inputs*.npz"))
+assert _c, "run bench_raster_micro.py first (builds the setup cache)"
+d = np.load(_c[0])  # only setup/aabb/valid are used; binning is redone
 setup = jnp.asarray(d["setup"]); aabb = jnp.asarray(d["aabb"]); valid = jnp.asarray(d["valid"])
 KC = 256
 N_ITER = 30
