@@ -48,6 +48,10 @@ class CityRLEnv:
         seed: int = 1337,
         substeps: int = 1,
         interpret: bool | None = None,
+        # 64 measured fastest for the 128x128 obs (882 vs 767 env-steps/s
+        # at 1024 envs against tile_h=16; same sweep direction as the 720p
+        # tile win — fewer per-tile fixed costs beat a tighter lattice)
+        obs_tile_h: int = 64,
     ):
         self.n_envs = n_envs
         self.capacity = capacity
@@ -56,7 +60,7 @@ class CityRLEnv:
         self.raster = RasterParams(
             width=obs_size,
             height=obs_size,
-            tile_h=16,
+            tile_h=min(obs_tile_h, obs_size),
             tile_w=128,
             max_tris=4096,
             max_tris_per_tile=128,
@@ -373,8 +377,11 @@ class CityRLEnv:
         items 6-7): per-env computation is untouched, so results are
         bitwise equal to the unsharded `rollout` on the same envs; only
         placement and the psum'd stats involve the mesh. Collectives ride
-        ICI via jax.lax.psum. Returns ((obs_means [L,N], rewards [L,N]),
-        stats dict of global scalars).
+        ICI via jax.lax.psum. The ~60s launch watchdog bound applies per
+        LAUNCH, so keep `length * n_envs/dp` under MAX_ENVSTEPS_PER_LAUNCH
+        and loop on the host for longer rollouts (see `rollout`).
+        Returns ((obs_means [L,N], rewards [L,N]), stats dict of global
+        scalars).
         """
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
