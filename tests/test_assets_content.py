@@ -84,3 +84,21 @@ def test_sandbox_streams_glb_instance(tmp_path):
         assert (slots[alive] == 2).any(), "authored GLB instance not streamed"
     finally:
         sb.shutdown()
+
+
+def test_reference_shipped_registry_parses():
+    """The reference's actual assets/world/asset_registry.txt loads with
+    our parser and produces the same FNV ids its runtime would."""
+    import os
+
+    path = "/root/reference/assets/world/asset_registry.txt"
+    if not os.path.exists(path):  # repo-only environments
+        return
+    from scx.assets.registry import load_asset_registry
+
+    entries = load_asset_registry(path)
+    labels = [e.label for e in entries]
+    assert labels == ["Cube", "CheckerCube", "TestCube", "Triangle"]
+    cube_ids = {e.mesh_id for e in entries if e.mesh_path == "meshes/cube"}
+    assert len(cube_ids) == 1  # same path -> same FNV id
+    assert cube_ids.pop() == asset_id_from_path("meshes/cube")
