@@ -22,6 +22,7 @@ import numpy as np
 from flax import struct
 
 from scx.app.sandbox import SimParams, make_sim_tick, spawn_player_vehicle
+from scx.physics.solver import SolverParams
 from scx.core import math3d as m3
 from scx.core.config import EngineConfig, WorldPartitionConfig
 from scx.render import RasterParams
@@ -71,7 +72,11 @@ class CityRLEnv:
             ),
         )
         self.pool = build_mesh_pool()
-        self.sim = SimParams()
+        # warm-started 6-iteration solve == cold-8 quality (tower test in
+        # test_physics_solver.py; same setting as the sandbox and bench.py)
+        self.sim = SimParams(
+            solver=SolverParams(iterations=cfg.physics.solver_iterations)
+        )
         self._tick = make_sim_tick(cfg, self.sim, max_substeps=substeps)
         self.substeps = substeps
         self.seed = seed

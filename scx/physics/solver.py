@@ -51,6 +51,12 @@ class SolverParams:
     sleep_time: float = struct.field(pytree_node=False, default=2.0)
 
 
+# contacts*bodies threshold below which the solve uses one-hot matmuls
+# instead of row gathers/scatters (see solve_velocity; tests patch this to
+# force either path)
+_ONE_HOT_LIMIT = 1 << 20
+
+
 def _orthonormal_tangents(n):
     """Two tangents per normal, branch-free (choose helper axis by |n.x|)."""
     helper = jnp.where(
@@ -106,13 +112,47 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
 
     # pack (vel, omega) into one [N,6] array: per iteration the pair
     # gathers/scatters are the HBM cost (TPU moves one row per index), so
-    # one 6-wide row beats two 3-wide ones
+    # one 6-wide row beats two 3-wide ones.
+    #
+    # For small scenes the gather/scatter becomes a ONE-HOT MATMUL on the
+    # MXU instead: A [C,N] has a 1 at (c, ia[c]) for valid contacts, so
+    # A @ vw gathers and A.T @ upd scatter-adds. Under a vmapped env batch
+    # XLA lowers batched row scatters poorly (same pathology as the render
+    # binning, pipeline.py:489), while batched matmuls are native — the RL
+    # fleet's solve drops from scatter-bound to MXU-trivial. Gated on
+    # C*N so one huge scene (sandbox at 4096 capacity) keeps row ops.
+    nb = bodies.n
+    C = ia.shape[0]
+    use_mm = C * nb <= _ONE_HOT_LIMIT
+    if use_mm:
+        ar_n = jnp.arange(nb, dtype=ia.dtype)
+        onehot_a = ((ia[:, None] == ar_n[None, :]) & c_valid[:, None]).astype(
+            jnp.float32
+        )
+        onehot_b = ((ib[:, None] == ar_n[None, :]) & c_valid[:, None]).astype(
+            jnp.float32
+        )
+
+    def _mm(x, y):
+        return jnp.matmul(x, y, precision=m3.PRECISION)
+
     def rel_vel_packed(vw):
-        a = vw[ia]
-        b = vw[ib]
+        if use_mm:
+            a = _mm(onehot_a, vw)
+            b = _mm(onehot_b, vw)
+        else:
+            a = vw[ia]
+            b = vw[ib]
         va = a[:, 0:3] + jnp.cross(a[:, 3:6], r_a)
         vb = b[:, 0:3] + jnp.cross(b[:, 3:6], r_b)
         return va - vb
+
+    def apply_packed(vw, upd_a, upd_b):
+        if use_mm:
+            return vw + _mm(onehot_a.T, upd_a) - _mm(onehot_b.T, upd_b)
+        vw = vw.at[ia].add(upd_a, mode="drop")
+        vw = vw.at[ib].add(-upd_b, mode="drop")
+        return vw
 
     def rel_vel(vel, omega):
         va = vel[ia] + jnp.cross(omega[ia], r_a)
@@ -134,10 +174,12 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     # per iteration computed from the same stale velocity, which overshoots
     # by ~k and can oscillate. Scale each contact's step by 1/max(k_a, k_b):
     # the projected fixed point is unchanged, convergence becomes monotone.
-    nb = bodies.n
-    cnt = jnp.zeros((nb,), jnp.float32)
-    cnt = cnt.at[ia].add(c_valid.astype(jnp.float32), mode="drop")
-    cnt = cnt.at[ib].add(c_valid.astype(jnp.float32), mode="drop")
+    if use_mm:
+        cnt = onehot_a.sum(axis=0) + onehot_b.sum(axis=0)
+    else:
+        cnt = jnp.zeros((nb,), jnp.float32)
+        cnt = cnt.at[ia].add(c_valid.astype(jnp.float32), mode="drop")
+        cnt = cnt.at[ib].add(c_valid.astype(jnp.float32), mode="drop")
     touch_a = jnp.where(im_a > 0, cnt[ia], 1.0)
     touch_b = jnp.where(im_b > 0, cnt[ib], 1.0)
     relax = params.relaxation / jnp.maximum(jnp.maximum(touch_a, touch_b), 1.0)
@@ -170,8 +212,7 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
 
         upd_a = jnp.concatenate([imp * im_a[:, None], dw_a], axis=-1)
         upd_b = jnp.concatenate([imp * im_b[:, None], dw_b], axis=-1)
-        vw = vw.at[ia].add(upd_a, mode="drop")
-        vw = vw.at[ib].add(-upd_b, mode="drop")
+        vw = apply_packed(vw, upd_a, upd_b)
         return (vw, ln_new, l1_new, l2_new), None
 
     zeros_c = jnp.zeros_like(kn)
@@ -189,8 +230,7 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
         dw_b = a_bn * ln0[:, None] + a_b1 * l10[:, None] + a_b2 * l20[:, None]
         upd_a = jnp.concatenate([imp * im_a[:, None], dw_a], axis=-1)
         upd_b = jnp.concatenate([imp * im_b[:, None], dw_b], axis=-1)
-        vw0 = vw0.at[ia].add(upd_a, mode="drop")
-        vw0 = vw0.at[ib].add(-upd_b, mode="drop")
+        vw0 = apply_packed(vw0, upd_a, upd_b)
     (vw, ln, l1, l2), _ = jax.lax.scan(
         iteration,
         (vw0, ln0, l10, l20),

@@ -230,3 +230,39 @@ def test_pair_overflow_reported_not_silent():
     _, _, stats = jax.jit(lambda bb, cc: ph.step_bodies_cached(bb, p, cc))(b, cache)
     assert int(stats["pair_overflow"]) > 0
     assert int(stats["pairs"]) == 16  # cap saturated
+
+
+def test_one_hot_and_scatter_solve_paths_agree(monkeypatch):
+    """The MXU one-hot solve (small scenes) and the row-scatter solve
+    (huge scenes) are the same algorithm — results must match closely."""
+    import numpy as np
+
+    from scx.physics import solver as solver_mod
+
+    def build():
+        pos = jnp.asarray(
+            [[0.0, -0.55, 0.0], [0.0, 0.45, 0.0], [0.0, 1.46, 0.0],
+             [1.4, 0.45, 0.0], [0.3, 2.5, 0.1]]
+        )
+        size = jnp.asarray(
+            [[8.0, 0.05, 8.0], [0.5, 0.5, 0.5], [0.5, 0.5, 0.5],
+             [0.5, 0.5, 0.5], [0.4, 0.4, 0.4]]
+        )
+        bt = jnp.asarray(
+            [ph.rigid.BODY_STATIC] + [ph.rigid.BODY_DYNAMIC] * 4, jnp.int32
+        )
+        return ph.make_bodies(pos, size=size, body_type=bt)
+
+    params = ph.SolverParams(max_pairs=32, iterations=6)
+
+    def run(limit):
+        monkeypatch.setattr(solver_mod, "_ONE_HOT_LIMIT", limit)
+        b = build()
+        for _ in range(30):
+            b = ph.step_bodies(b, params)
+        return np.asarray(b.pos), np.asarray(b.vel)
+
+    pos_mm, vel_mm = run(1 << 30)   # force one-hot matmuls
+    pos_sc, vel_sc = run(0)         # force row scatters
+    np.testing.assert_allclose(pos_mm, pos_sc, atol=1e-4)
+    np.testing.assert_allclose(vel_mm, vel_sc, atol=1e-3)
