@@ -58,12 +58,17 @@ class CityRLEnv:
         self.capacity = capacity
         cfg = EngineConfig()
         self.cfg = cfg
+        # right-size the triangle columns to the scene: capacity entities x
+        # 12 cube tris (+20% clip headroom, /1024 granularity). Setup/bin
+        # work scales with the column length, and at fleet sizes the unused
+        # tail of a generous cap is the single largest render-prep cost.
+        t_need = int(capacity * 12 * 1.2)
         self.raster = RasterParams(
             width=obs_size,
             height=obs_size,
             tile_h=min(obs_tile_h, obs_size),
             tile_w=128,
-            max_tris=4096,
+            max_tris=max(1024, -(-t_need // 1024) * 1024),
             max_tris_per_tile=128,
             interpret=(
                 interpret
@@ -246,7 +251,8 @@ class CityRLEnv:
             params=CameraParams(fov_y_deg=70.0),
         )
         visible, mats = cull_entities(state, vp)
-        draws = emit_draws(state, visible, mats, 256)
+        # every entity can be on screen: the draw budget is the capacity
+        draws = emit_draws(state, visible, mats, min(self.capacity, 256))
         return setup_triangles(draws, self.pool, vp, self.raster)
 
     def _step_impl(self, batch, cache, actions):
