@@ -266,3 +266,27 @@ def test_one_hot_and_scatter_solve_paths_agree(monkeypatch):
     pos_sc, vel_sc = run(0)         # force row scatters
     np.testing.assert_allclose(pos_mm, pos_sc, atol=1e-4)
     np.testing.assert_allclose(vel_mm, vel_sc, atol=1e-3)
+
+
+def test_broadphase_topk_and_scatter_paths_agree(monkeypatch):
+    """top_k compaction (small scenes) == rank-scatter compaction."""
+    import numpy as np
+
+    from scx.physics import broadphase as bp_mod
+
+    rng = np.random.RandomState(3)
+    pos = jnp.asarray(rng.uniform(-4, 4, size=(40, 3)).astype(np.float32))
+    size = jnp.full((40, 3), 0.6)
+    bt = jnp.asarray(
+        [ph.rigid.BODY_STATIC] * 5 + [ph.rigid.BODY_DYNAMIC] * 35, jnp.int32
+    )
+    b = ph.make_bodies(pos, size=size, body_type=bt)
+
+    def run(limit):
+        monkeypatch.setattr(bp_mod, "_TOPK_LIMIT", limit)
+        return [
+            np.asarray(x) for x in bp_mod.broadphase_pairs(b, max_pairs=64)
+        ]
+
+    for a, c in zip(run(1 << 30), run(0)):
+        np.testing.assert_array_equal(a, c)
