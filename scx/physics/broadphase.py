@@ -17,8 +17,12 @@ import jax.numpy as jnp
 
 from scx.physics.rigid import RigidBodies, body_aabbs
 
-# N*N threshold below which pair compaction uses top_k instead of a rank
-# scatter (tests patch this to force either path)
+# N*N band in which pair compaction uses top_k instead of a rank scatter
+# (tests patch these to force either path). Measured on v5e: top_k wins in
+# the mid range (160 bodies: -17% on the whole vmapped sim step) but loses
+# ~17% at tiny N (64-body bench scenes) where the scatter touches few
+# lanes, and loses again at huge N^2.
+_TOPK_MIN = 1 << 13
 _TOPK_LIMIT = 1 << 20
 
 
@@ -64,7 +68,7 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     )
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    if n * n <= _TOPK_LIMIT:
+    if _TOPK_MIN <= n * n <= _TOPK_LIMIT:
         # compaction by top_k: score = n*n - flat for valid pairs, so the
         # max_pairs largest scores ARE the first valid pairs in flat order.
         # Under a vmapped env batch this is ~17% of the whole sim step

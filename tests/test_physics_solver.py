@@ -283,6 +283,7 @@ def test_broadphase_topk_and_scatter_paths_agree(monkeypatch):
     b = ph.make_bodies(pos, size=size, body_type=bt)
 
     def run(limit):
+        monkeypatch.setattr(bp_mod, "_TOPK_MIN", 0)
         monkeypatch.setattr(bp_mod, "_TOPK_LIMIT", limit)
         return [
             np.asarray(x) for x in bp_mod.broadphase_pairs(b, max_pairs=64)
