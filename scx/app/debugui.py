@@ -94,6 +94,8 @@ class DebugConsole:
                 return f"{parts[1]} = {self.get(parts[1])}"
             if op == "inspect":
                 return self.inspect(int(parts[1]))
+            if op == "tree":
+                return self.tree(int(parts[1]) if len(parts) > 1 else 8)
             if op == "raycast":
                 v = [float(x) for x in parts[1:7]]
                 return self.raycast(v[:3], v[3:])
@@ -143,6 +145,37 @@ class DebugConsole:
             )
         )
         return f"vehicle.{field}[{self.sb.player_slot}] = {value}"
+
+    def tree(self, per_sector: int = 8) -> str:
+        """Scene hierarchy grouped by sector — the text form of the
+        reference's hierarchy panel (sc_imgui.cpp: scene tree)."""
+        import numpy as np
+
+        st = self.sb.state
+        alive = np.asarray(st.alive)
+        sector = np.asarray(st.sector)
+        comp = np.asarray(st.components)
+        pos = np.asarray(st.transform.pos)
+        from scx.state.entity import (
+            C_COLLIDER, C_PLAYER, C_RENDER_MESH, C_RIGID_BODY, C_TRAFFIC,
+            C_VEHICLE,
+        )
+
+        lines = [f"entities {int(alive.sum())}/{st.capacity}"]
+        flags = [("M", C_RENDER_MESH), ("C", C_COLLIDER), ("B", C_RIGID_BODY),
+                 ("V", C_VEHICLE), ("P", C_PLAYER), ("T", C_TRAFFIC)]
+        for coord in sorted({tuple(s) for s in sector[alive]}):
+            idx = np.where(alive & (sector == coord).all(axis=1))[0]
+            lines.append(f"sector {coord}: {len(idx)} entities")
+            for i in idx[:per_sector]:
+                tags = "".join(f for f, b in flags if comp[i] & b)
+                p = pos[i]
+                lines.append(
+                    f"  [{i}] {tags:<5} ({p[0]:7.1f},{p[1]:5.1f},{p[2]:7.1f})"
+                )
+            if len(idx) > per_sector:
+                lines.append(f"  ... +{len(idx) - per_sector} more")
+        return "\n".join(lines)
 
     def inspect(self, slot: int) -> str:
         """One agent's live state (traffic panel, sc_imgui.cpp:556-629)."""

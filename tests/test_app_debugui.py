@@ -91,3 +91,9 @@ def test_freeze_and_help_and_errors(sandbox):
     assert "set" in c.command("help")
     assert "error" in c.command("set nope.nope 1")
     assert "unknown" in c.command("wat")
+
+
+def test_scene_tree(sandbox):
+    out = sandbox.console().command("tree 3")
+    assert "entities" in out and "sector" in out
+    assert "[" in out  # at least one entity row with component tags
