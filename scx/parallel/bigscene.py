@@ -86,7 +86,8 @@ def make_bigscene_step(
         )
         stats = dict(stats)
         stats["tile_overflow"] = jax.lax.psum(rstats["tile_overflow"], "sp")
-        stats["tris_in"] = rstats["tris_in"]  # same on every shard
+        # strip culling makes per-shard counts differ; report the max
+        stats["tris_in"] = jax.lax.pmax(rstats["tris_in"], "sp")
         return jax.tree.map(lambda a: a[None], b), rgb, stats
 
     fn = shard_map(
