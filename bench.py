@@ -135,6 +135,7 @@ def _secondaries() -> list:
         ("benchmarks/bench_city_720p.py", 2400),
         ("benchmarks/bench_rlenv.py", 3600),
         ("benchmarks/bench_spatial_render.py", 2400),
+        ("benchmarks/bench_bigscene.py", 2400),
     ):
         try:
             proc = subprocess.run(

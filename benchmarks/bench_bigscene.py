@@ -89,11 +89,20 @@ def main():
           "tris:", int(stats["tris_in"]),
           "overflow:", int(stats["tile_overflow"]), flush=True)
 
+    # device-chained measurement (per-call timing through the tunnel is
+    # untrustworthy, CLAUDE.md trap 10): N steps inside one shard_map scan
     N = int(os.environ.get("ITERS", "20"))
+    chain = bg.make_bigscene_chain(
+        mesh, params, raster, x0=0.0, shard_width=width,
+        n_steps=N, halo=3.0, halo_cap=64, mig_cap=32,
+    )
+    out2, cstats = chain(out, vp)
+    jax.block_until_ready(cstats["rgb_sum"])  # compile + warm
+    if jax.default_backend() != "cpu":
+        time.sleep(60)  # let the remote compile service go quiet (trap 9b)
     t0 = time.time()
-    for _ in range(N):
-        out, rgb, stats = step(out, vp)
-    jax.block_until_ready(rgb)
+    out2, cstats = chain(out, vp)
+    jax.block_until_ready(cstats["rgb_sum"])
     dt = (time.time() - t0) / N
     print("step: %.2f ms -> %.1f steps/s (sp=%d, %d bodies/strip, %dx%d)"
           % (dt * 1e3, 1 / dt, sp, n_local, W, H), flush=True)

@@ -98,3 +98,45 @@ def make_bigscene_step(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_bigscene_chain(mesh, params, raster, x0, shard_width, n_steps,
+                        halo=4.0, halo_cap=32, mig_cap=16):
+    """Device-chained variant: `n_steps` full sim+render steps inside ONE
+    shard_map/jit (benchmarking — per-call timing through a tunneled
+    device transport is untrustworthy, CLAUDE.md trap 10). Returns
+    f(bodies, vp) -> (bodies', last rgb, stats)."""
+    from jax import shard_map
+
+    n_shards = mesh.shape["sp"]
+    rows_per = raster.height // n_shards
+    pool = build_mesh_pool()
+    spatial = make_spatial_step(
+        params, n_shards, x0, shard_width, halo, halo_cap, mig_cap
+    )
+
+    def local(bodies_slice, vp):
+        b0 = jax.tree.map(lambda a: a[0], bodies_slice)
+
+        def body(b, _):
+            b, stats = spatial(b)
+            pos = jax.lax.all_gather(b.pos, "sp").reshape(-1, 3)
+            quat = jax.lax.all_gather(b.quat, "sp").reshape(-1, 4)
+            size = jax.lax.all_gather(b.size, "sp").reshape(-1, 3)
+            active = jax.lax.all_gather(b.active, "sp").reshape(-1)
+            draws = gathered_draws(pos, quat, size, active)
+            row0 = jax.lax.axis_index("sp") * rows_per
+            rgb, _, _ = render_frame_rows(
+                draws, pool, vp, raster, row0, rows_per
+            )
+            return b, (rgb[::16, ::16].sum(), stats["active"])
+
+        b, (sums, actives) = jax.lax.scan(body, b0, None, length=n_steps)
+        stats = {"active": actives[-1], "rgb_sum": sums.sum()}
+        return jax.tree.map(lambda a: a[None], b), stats
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P("sp"), P()),
+        out_specs=(P("sp"), P()), check_vma=False,
+    )
+    return jax.jit(fn)

@@ -87,3 +87,33 @@ def test_bigscene_step_matches_global_sim_and_render():
     np.testing.assert_allclose(
         np.asarray(rgb), np.asarray(full_rgb), atol=1e-5
     )
+
+
+def test_bigscene_chain_matches_stepwise():
+    """The device-chained N-step variant == N single steps."""
+    mesh = make_mesh(dp=1, sp=S)
+    params = ph.SolverParams(max_pairs=128, iterations=6)
+    raster = _raster()
+    vp = _vp(raster)
+    bodies, n = build_global_scene()
+    sharded = shard_scene(bodies, n)
+
+    step = bg.make_bigscene_step(
+        mesh, params, raster, x0=0.0, shard_width=WIDTH,
+        halo=3.0, halo_cap=16, mig_cap=8,
+    )
+    out = sharded
+    for _ in range(3):
+        out, _, _ = step(out, vp)
+
+    chain = bg.make_bigscene_chain(
+        mesh, params, raster, x0=0.0, shard_width=WIDTH, n_steps=3,
+        halo=3.0, halo_cap=16, mig_cap=8,
+    )
+    out2, cstats = chain(sharded, vp)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(out2.pos), atol=1e-5
+    )
+    assert int(cstats["active"]) == int(
+        np.asarray(out.active).sum()
+    )
