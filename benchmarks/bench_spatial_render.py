@@ -95,12 +95,34 @@ def main():
     print("max_occ:", int(stats["max_tile_occupancy"]),
           "overflow:", int(stats["tile_overflow"]), flush=True)
 
+    # device-chained frames (per-call timing through the tunnel is
+    # untrustworthy, CLAUDE.md trap 10): camera nudge per frame defeats
+    # loop-invariant hoisting without changing the work
+    def local_chain(d):
+        def body(c, i):
+            eye = jnp.asarray([7.0, 6.0, 14.0]) + jnp.asarray([1e-3, 0.0, 0.0]) * i
+            vpi = rd.camera_view_proj(
+                eye, jnp.asarray([7.0, 0.0, -80.0]),
+                jnp.asarray([0.0, 1.0, 0.0]), aspect=W / H,
+            )
+            row0 = jax.lax.axis_index("sp") * rows_per
+            rgb, _, _ = pipe.render_frame_rows(
+                d, pool, vpi, params, row0, rows_per, mats, tex
+            )
+            return c + rgb[::64, ::64].sum(), None
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))[0][None]
+
+    chainf = jax.jit(shard_map(
+        local_chain, mesh=mesh, in_specs=(P(),), out_specs=P("sp"),
+        check_vma=False,
+    ))
+    jax.block_until_ready(chainf(draws))
+    if jax.default_backend() != "cpu":
+        time.sleep(45)  # let the remote compile service go quiet (trap 9b)
     t0 = time.time()
-    for _ in range(n_iters):
-        rgb, stats = fn(draws)
-    jax.block_until_ready(rgb)
+    jax.block_until_ready(chainf(draws))
     dt = (time.time() - t0) / n_iters
-    print("frame: %.2f ms -> %.1f FPS (sp=%d, %d rows/chip)"
+    print("chained frame: %.2f ms -> %.1f FPS (sp=%d, %d rows/chip)"
           % (dt * 1e3, 1 / dt, sp, rows_per), flush=True)
     print("BENCH_JSON " + json.dumps({
         "metric": f"city_{W}x{H}_sp_render_fps", "value": round(1 / dt, 1),
