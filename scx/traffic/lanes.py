@@ -307,8 +307,8 @@ def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 
         axis=-1,
     )
 
-    def hop(carry, _):
-        cur, cs, remaining, done, ok = carry
+    def hop(carry):
+        cur, cs, remaining, done, ok, it = carry
         safe = jnp.maximum(cur, 0)
         row = seg_rows[safe]
         length = row[1]
@@ -334,7 +334,16 @@ def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 
         cs_out = jnp.where(done, cs, cs_new)
         cur_out = jnp.where(done, cur, cur_new)
         rem_out = jnp.where(done | newly_done, 0.0, rem_new)
-        return (cur_out, cs_out, rem_out, done_new, ok_new), None
+        return (cur_out, cs_out, rem_out, done_new, ok_new, it + 1)
+
+    def pending(carry):
+        # while_loop instead of a fixed-hop scan: under the agent/env vmaps
+        # JAX batches the loop to "iterate while ANY lane is pending", so
+        # the fleet pays for the DEEPEST walk, not max_hops — most agents
+        # finish in 1 hop (the two 8-hop walks were ~85 ms/step each at
+        # 1024 envs, ~90% of the traffic-AI stage in the device trace).
+        _, _, _, done, _, it = carry
+        return (~done) & (it < max_hops)
 
     init = (
         jnp.asarray(lane_id, jnp.int32),
@@ -342,8 +351,9 @@ def advance_along_lane(lanes: LaneArrays, lane_id, s, distance, max_hops: int = 
         jnp.asarray(distance, jnp.float32),
         jnp.asarray(False),
         jnp.asarray(lane_id >= 0),
+        jnp.int32(0),
     )
-    (cur, cs, rem, done, ok), _ = jax.lax.scan(hop, init, None, length=max_hops)
+    cur, cs, rem, done, ok, _ = jax.lax.while_loop(pending, hop, init)
     ok = ok & done
     safe = jnp.maximum(cur, 0)
     a = lanes.node_pos[lanes.seg_start[safe]]
