@@ -95,12 +95,22 @@ def write_back(state: EntityState, bodies: RigidBodies) -> EntityState:
 
 
 def vehicle_slots(state: EntityState, max_vehicles: int = MAX_VEHICLES):
-    """Fixed-capacity list of vehicle entity indices (lowest-first)."""
+    """Fixed-capacity list of vehicle entity indices (lowest-first).
+
+    top_k on (n - idx) scores instead of a full sort: the batched sort was
+    ~26 ms/step for the 1024-env RL fleet (10% of the physics stage in the
+    device trace); top_k of 32 from a few hundred lanes is noise."""
     n = state.capacity
     is_vehicle = state.alive & ((state.components & C_VEHICLE) != 0)
     idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(is_vehicle, idx, n)
-    slots = jnp.sort(key)[:max_vehicles]
+    score = jnp.where(is_vehicle, n - idx, 0)  # highest score = lowest idx
+    k = min(max_vehicles, n)
+    vals, _ = jax.lax.top_k(score, k)
+    slots = jnp.where(vals > 0, n - vals, n)
+    if k < max_vehicles:
+        slots = jnp.concatenate(
+            [slots, jnp.full((max_vehicles - k,), n, slots.dtype)]
+        )
     return slots, slots < n
 
 
