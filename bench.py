@@ -5,7 +5,11 @@ BASELINE config #2: 1024 parallel scenes x 64 rigid bodies each (1 static
 ground slab + 63 dynamic boxes), AABB broadphase + impulse solver, no
 rendering.  Target (BASELINE.md): >= 1,000,000 env-steps/sec per v5e chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the primary JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the primary measurement (the driver must always capture
+it, even if secondaries run long), then runs the secondary benchmarks
+under one strict total wall budget and prints each as a separate
+'BENCH_JSON {...}' line.
 """
 
 import json
@@ -33,6 +37,12 @@ STEPS_PER_CALL = 240
 MEASURE_CALLS = 5
 ROUNDS = 5  # best-of: the remote-device tunnel adds noisy per-call latency
 TARGET = 1_000_000.0
+
+# Secondaries: hard budgets, slow-machine case assumed (round-2 lesson:
+# the driver box ran 4x slower than the dev box and the old 2400-3600 s
+# per-script timeouts starved the primary line entirely).
+SECONDARY_TOTAL_BUDGET_S = 900.0  # ~15 min wall for ALL secondaries
+SECONDARY_SCRIPT_TIMEOUT_S = 480.0  # per-script cap
 
 
 def build_batch(envs: int, n: int) -> ph.RigidBodies:
@@ -115,15 +125,18 @@ def main():
         "unit": "env_steps/s",
         "vs_baseline": round(rate / TARGET, 3),
     }
-    result["secondary"] = _secondaries()
-    print(json.dumps(result))
+    # Print the primary line FIRST and flush: the driver's window may close
+    # before the secondaries finish, and the headline must never be lost.
+    print(json.dumps(result), flush=True)
+    for sec in _secondaries():
+        print("BENCH_JSON " + json.dumps(sec), flush=True)
 
 
 def _secondaries() -> list:
     """Render + RL benchmarks as subprocesses (each in a quiet process —
-    co-resident remote compiles poison timings, CLAUDE.md trap 9b). Each
-    script prints a 'BENCH_JSON {...}' line; failures are reported, never
-    fatal to the primary metric. Skip with SCX_BENCH_SECONDARIES=0."""
+    co-resident remote compiles poison timings, CLAUDE.md trap 10b), under
+    one strict total wall budget so they can never starve the driver.
+    Results stream out as they land. Skip with SCX_BENCH_SECONDARIES=0."""
     import subprocess
     import sys
 
@@ -131,12 +144,22 @@ def _secondaries() -> list:
         return []
     root = os.path.dirname(os.path.abspath(__file__))
     out = []
-    for script, timeout in (
-        ("benchmarks/bench_city_720p.py", 2400),
-        ("benchmarks/bench_rlenv.py", 3600),
-        ("benchmarks/bench_spatial_render.py", 2400),
-        ("benchmarks/bench_bigscene.py", 2400),
+    deadline = time.monotonic() + SECONDARY_TOTAL_BUDGET_S
+    # ordered by VERDICT priority: 720p + RL first (must be captured),
+    # spatial/bigscene only if budget remains
+    for script in (
+        "benchmarks/bench_city_720p.py",
+        "benchmarks/bench_rlenv.py",
+        "benchmarks/bench_spatial_render.py",
+        "benchmarks/bench_bigscene.py",
     ):
+        remaining = deadline - time.monotonic()
+        if remaining <= 30.0:
+            out.append({"metric": script, "skipped": "total budget exhausted"})
+            continue
+        timeout = min(SECONDARY_SCRIPT_TIMEOUT_S, remaining)
+        env = dict(os.environ)
+        env.setdefault("SCX_BENCH_FAST", "1")  # scripts shrink warmups/rounds
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(root, script)],
@@ -144,10 +167,20 @@ def _secondaries() -> list:
                 text=True,
                 timeout=timeout,
                 cwd=root,
+                env=env,
             )
+            got = False
             for line in proc.stdout.splitlines():
                 if line.startswith("BENCH_JSON "):
                     out.append(json.loads(line[len("BENCH_JSON "):]))
+                    got = True
+            if not got:
+                out.append(
+                    {
+                        "metric": script,
+                        "error": f"rc={proc.returncode}, no BENCH_JSON line",
+                    }
+                )
         except Exception as e:  # noqa: BLE001 — never break the primary line
             out.append({"metric": script, "error": str(e)[:200]})
     return out

@@ -37,17 +37,20 @@ tex = pipe.MipTextures(quads=jnp.asarray(texmod.build_mip_quads(base))[None], si
 # per-call dispatch tax through the tunnel and block cross-stage fusion)
 framef = jax.jit(lambda d: pipe.render_frame(d, pool, vp, params, mats, tex))
 
+FAST = os.environ.get("SCX_BENCH_FAST", "0") == "1"  # driver budget mode
+
 t0=time.time(); rgb, g, stats = framef(draws); jax.block_until_ready(rgb)
 print("compile+first: %.1f s" % (time.time()-t0), flush=True)
 print("covered:", int(np.asarray(g["covered"]).sum()),
       "max_occ:", int(stats["max_tile_occupancy"]),
       "overflow:", int(stats["tile_overflow"]), flush=True)
 N=30
-t0=time.time()
-for _ in range(N): rgb, g, stats = framef(draws)
-jax.block_until_ready(rgb)
-dt=(time.time()-t0)/N
-print("per-call frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
+if not FAST:
+    t0=time.time()
+    for _ in range(N): rgb, g, stats = framef(draws)
+    jax.block_until_ready(rgb)
+    dt=(time.time()-t0)/N
+    print("per-call frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
 
 # deployment shape: frames chained on device (the reference pipelines 2
 # frames in flight, sc_vk.h:58; a device-resident loop doesn't pay the

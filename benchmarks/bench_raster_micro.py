@@ -103,7 +103,7 @@ if "--bin" in sys.argv:
     aabb = jnp.asarray(d["aabb"]); valid = jnp.asarray(d["valid"])
     def _bin(a, v, s):
         ca, cv, cz = rc.cluster_bounds(a, v, params.max_tris, s)
-        ca, cv, cz, order = rc.compact_clusters(ca, cv, cz)
+        ca, cv, cz, order, _drop = rc.compact_clusters(ca, cv, cz)
         ids, counts = rc.bin_clusters(ca, cv, params, KC, cl_zmin=cz)
         return order[ids], counts
     binf = jax.jit(_bin)

@@ -30,7 +30,7 @@ def run(tile_h, tile_w=128, cluster=None):
                              max_clusters_per_tile=KC, min_area2=0.25)
     def _bin(s):
         ca, cv, cz = rc.cluster_bounds(aabb, valid, params.max_tris, s)
-        ca2, cv2, cz2, order = rc.compact_clusters(ca, cv, cz)
+        ca2, cv2, cz2, order, _drop = rc.compact_clusters(ca, cv, cz)
         ids, counts = rc.bin_clusters(ca2, cv2, params, KC, cl_zmin=cz2)
         return order[ids], counts, cz
     binf = jax.jit(_bin)

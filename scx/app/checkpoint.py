@@ -73,9 +73,13 @@ def load_checkpoint(path: str):
             key = f"{prefix}{name}"
             if hasattr(child, "__dataclass_fields__"):
                 updates[name] = rebuild(key + ".", child)
+            elif key in data:
+                updates[name] = jax.numpy.asarray(data[key])
             else:
-                arr = data[key]
-                updates[name] = jax.numpy.asarray(arr)
+                # leaf added after the checkpoint was written (same format
+                # version): keep the freshly-allocated template default so
+                # old saves stay loadable
+                updates[name] = child
         return node.replace(**updates)
 
     state = rebuild("", state)

@@ -198,6 +198,11 @@ class CityRLEnv:
         batch = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), template
         )
+        # the template is transient (discarded after broadcast): untrack it
+        # so TAG_STATE live_bytes doesn't creep up with every env reset
+        from scx.core import memtrack
+
+        memtrack.untrack_array(memtrack.TAG_STATE, template)
         s = stacked
 
         def merge(batch):
@@ -252,7 +257,9 @@ class CityRLEnv:
         )
         visible, mats = cull_entities(state, vp)
         # every entity can be on screen: the draw budget is the capacity
-        draws = emit_draws(state, visible, mats, min(self.capacity, 256))
+        # (max_tris was right-sized for 12 tris x capacity, so no headroom
+        # is wasted by drawing them all)
+        draws = emit_draws(state, visible, mats, self.capacity)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
     def _step_impl(self, batch, cache, actions):

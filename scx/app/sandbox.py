@@ -292,7 +292,14 @@ class Sandbox:
         """Re-jit the device tick after a live config/sim-params change
         (the DebugConsole's equivalent of the reference's sliders mutating
         Bullet state directly — compile-time constants need a recompile)."""
+        from scx.physics.warmstart import empty_contact_cache
+
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
+        # the warm-start cache is shaped by max_pairs; a live change (e.g.
+        # 'set physics.max_pairs N') must resize it with the tick or the
+        # next frame trips a shape mismatch
+        if self._cache.pair_key.shape[0] != self.sim.solver.max_pairs:
+            self._cache = empty_contact_cache(self.sim.solver.max_pairs)
 
     def console(self):
         """Lazily-built live-tuning console (scx.app.debugui)."""

@@ -62,7 +62,9 @@ def compact_clusters(cl_aabb, cl_valid, cl_zmin=None, cap: int | None = None):
     that is 4096 columns for ~1200 live clusters.  One small argsort
     packs live clusters first (preserving draw order) so binning runs on
     a static cap of half the capacity.  Returns (aabb, valid, zmin,
-    order) where order maps compact index -> original cluster id."""
+    order, dropped) where order maps compact index -> original cluster id
+    and dropped counts live clusters truncated past cap (overflow is
+    counted, never silent — surface it in the frame stats)."""
     c = cl_valid.shape[0]
     if cap is None:
         cap = max(1, c // 2)
@@ -72,7 +74,8 @@ def compact_clusters(cl_aabb, cl_valid, cl_zmin=None, cap: int | None = None):
     aabb = cl_aabb[order]
     valid = cl_valid[order]  # dead clusters sort after live: tail is False
     zmin = None if cl_zmin is None else cl_zmin[order]
-    return aabb, valid, zmin, order
+    dropped = jnp.maximum(jnp.sum(cl_valid.astype(jnp.int32)) - cap, 0)
+    return aabb, valid, zmin, order, dropped
 
 
 def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int,

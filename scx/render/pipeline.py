@@ -739,7 +739,7 @@ def _raster_and_shade(setup, aabb, valid, params, materials, textures):
         cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
             aabb, valid, params.max_tris, setup
         )
-        c_aabb, c_valid, c_zmin, order = rc.compact_clusters(
+        c_aabb, c_valid, c_zmin, order, cl_dropped = rc.compact_clusters(
             cl_aabb, cl_valid, cl_zmin
         )
         zsort = c_zmin if params.sort_draws else None
@@ -754,15 +754,20 @@ def _raster_and_shade(setup, aabb, valid, params, materials, textures):
         )
         occupancy = cl_counts
         overflow_cap = params.max_clusters_per_tile
+        cluster_drop = cl_dropped
     else:
         binned, counts = bin_triangles(setup, aabb, valid, params)
         gbuffer = raster_ops.rasterize_tiles(binned, params, counts)
         occupancy = counts
         overflow_cap = params.max_tris_per_tile
+        cluster_drop = jnp.int32(0)
     rgb = shade(gbuffer, materials, textures)
     stats = {
         "tris_in": jnp.sum(valid.astype(jnp.int32)),
         "max_tile_occupancy": jnp.max(occupancy),
         "tile_overflow": jnp.sum((occupancy >= overflow_cap).astype(jnp.int32)),
+        # live clusters truncated by compact_clusters' cap (c//2): geometry
+        # loss if ever nonzero — counted, never silent
+        "cluster_drop": cluster_drop,
     }
     return rgb, gbuffer, stats
