@@ -1,0 +1,184 @@
+"""Stage-level profile of the RL fleet step (VERDICT r2 item 2).
+
+Times each stage of the CityRLEnv tick as a device-chained lax.scan
+(CLAUDE.md quirk 10: per-call timings through the tunnel are
+untrustworthy; only chained scans measure truth). All stages compile
+first, then a quiet pause, then measurement — co-resident remote
+compiles poison timings (quirk 10b).
+
+Usage:
+  python scripts/profile_rlenv.py [--envs 1024] [--iters 20] [--trace DIR]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of the physics scan")
+    ap.add_argument("--quiet-wait", type=float, default=60.0)
+    args = ap.parse_args()
+
+    from scx.app.rlenv import CityRLEnv
+    from scx.physics.world import physics_sync_step, bodies_from_state
+    from scx.physics.broadphase import broadphase_pairs
+    from scx.physics.contacts import generate_contacts
+    from scx.physics.solver import solve_velocity
+    from scx.traffic.ai import traffic_ai_update
+    from scx.state import entity as ent
+
+    E = args.envs
+    N = args.iters
+    t0 = time.time()
+    env = CityRLEnv(n_envs=E, capacity=160, obs_size=128, n_traffic=8)
+    print(f"built {E} envs in {time.time()-t0:.1f}s", flush=True)
+    batch, cache = env.state, env.cache
+    solver, vparams = env.sim.solver, env.sim.vehicle
+    dt = env.cfg.physics.fixed_dt
+    lanes = env.lanes
+    tcfg = env.cfg.traffic
+
+    def perturb(s, i):
+        # per-iteration nudge so no work is loop-invariant
+        return s.replace(
+            body=s.body.replace(
+                vel=s.body.vel + jnp.float32(1e-6) * (i % 3 - 1)
+            )
+        )
+
+    # --- chained stage definitions (each: scan over N, carry = state) ----
+    def chain_physics(b, c):
+        def body(carry, i):
+            s, cc = carry
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            s, cc, _ = jax.vmap(
+                lambda x, y: physics_sync_step(x, solver, vparams, dt, y)
+            )(s, cc)
+            return (s, cc), None
+        (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
+        return b, c
+
+    def chain_ai(b):
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                is_veh = (st.components & ent.C_VEHICLE) != 0
+                return traffic_ai_update(st, lanes, bodies, is_veh, tcfg, dt)
+            return jax.vmap(one)(s), None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    def chain_broadphase(b):
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                ia, ib, val, n_cand = broadphase_pairs(bodies, solver.max_pairs)
+                return n_cand + ia[0] + ib[0] + jnp.sum(val)
+            acc = jax.vmap(one)(s)
+            # carry the reduction through vel so the scan can't hoist
+            s = s.replace(body=s.body.replace(
+                vel=s.body.vel + (acc.astype(jnp.float32) * 0.0)[:, None, None]))
+            return s, None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    def chain_contacts(b):
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                ia, ib, val, _ = broadphase_pairs(bodies, solver.max_pairs)
+                con = generate_contacts(bodies, ia, ib, val)
+                return jnp.sum(con.depth) + jnp.sum(con.valid)
+            acc = jax.vmap(one)(s)
+            s = s.replace(body=s.body.replace(
+                vel=s.body.vel + (acc * 0.0)[:, None, None]))
+            return s, None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    def chain_solve(b):
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                ia, ib, val, _ = broadphase_pairs(bodies, solver.max_pairs)
+                con = generate_contacts(bodies, ia, ib, val)
+                vel, omega, lam, cnt = solve_velocity(bodies, con, solver)
+                return jnp.sum(vel) + jnp.sum(omega) + jnp.sum(lam)
+            acc = jax.vmap(one)(s)
+            s = s.replace(body=s.body.replace(
+                vel=s.body.vel + (acc * 0.0)[:, None, None]))
+            return s, None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    stages = {
+        "physics_full": jax.jit(chain_physics),
+        "ai": jax.jit(chain_ai),
+        "broadphase": jax.jit(chain_broadphase),
+        "bp+contacts": jax.jit(chain_contacts),
+        "bp+con+solve": jax.jit(chain_solve),
+    }
+
+    # compile everything first
+    compiled = {}
+    for name, fn in stages.items():
+        t0 = time.time()
+        if name == "physics_full":
+            out = fn(batch, cache)
+        else:
+            out = fn(batch)
+        jax.block_until_ready(out)
+        compiled[name] = fn
+        print(f"compiled {name} in {time.time()-t0:.1f}s", flush=True)
+
+    if jax.default_backend() != "cpu":
+        print(f"quiet wait {args.quiet_wait:.0f}s...", flush=True)
+        time.sleep(args.quiet_wait)
+
+    results = {}
+    for name, fn in compiled.items():
+        t0 = time.time()
+        if name == "physics_full":
+            out = fn(batch, cache)
+        else:
+            out = fn(batch)
+        jax.block_until_ready(out)
+        dt_ms = (time.time() - t0) / N * 1e3
+        results[name] = dt_ms
+        print(f"{name:>14}: {dt_ms:8.2f} ms/fleet-step "
+              f"({dt_ms/E*1e3:7.2f} us/env-step)", flush=True)
+
+    # derived deltas
+    if all(k in results for k in ("broadphase", "bp+contacts", "bp+con+solve")):
+        print(f"{'contacts':>14}: {results['bp+contacts']-results['broadphase']:8.2f} ms (delta)")
+        print(f"{'solve':>14}: {results['bp+con+solve']-results['bp+contacts']:8.2f} ms (delta)")
+        print(f"{'veh+integ+ws':>14}: {results['physics_full']-results['bp+con+solve']:8.2f} ms (delta)")
+
+    if args.trace:
+        from scx.telemetry import trace as tr
+        tr.start_trace(args.trace)
+        jax.block_until_ready(compiled["physics_full"](batch, cache))
+        tr.stop_trace()
+        print("trace written to", args.trace, flush=True)
+
+
+if __name__ == "__main__":
+    main()
