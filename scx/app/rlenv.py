@@ -95,6 +95,8 @@ class CityRLEnv:
         self.lanes = lanes.to_arrays()
 
         self._step_jit = jax.jit(self._step_impl)
+        self._chunker = None  # AdaptiveChunker, built on first rollout
+        self._launched_lengths: set = set()
         self._rollout_jit = None
         self._rollout_sharded_jit = None
         self._rollout_sharded_key = None
@@ -343,12 +345,14 @@ class CityRLEnv:
         )
         return batch, cache, nans, aux
 
-    # one device launch is kept under ~this many env-steps: a single XLA
-    # execution running for minutes trips device/transport watchdogs (a
-    # 4096-env x 10-step launch ≈ 70 s reproducibly killed the TPU worker;
-    # the same program at 2048 envs ≈ 34 s runs fine). Chunking bounds
-    # launch duration; aux stays on device between chunks so the host link
-    # only carries the tiny [chunk, N] means per chunk.
+    # pre-measurement launch budget (env-steps): a single XLA execution
+    # running for minutes trips device/transport watchdogs (a 4096-env x
+    # 10-step launch ≈ 70 s reproducibly killed the TPU worker; the same
+    # program at 2048 envs ≈ 34 s runs fine). The AdaptiveChunker starts
+    # from this constant and then sizes launches from MEASURED durations,
+    # so machine variance (a 4x slower driver box) cannot trip the
+    # watchdog. aux stays on device between chunks so the host link only
+    # carries the tiny [chunk, N] means per chunk.
     MAX_ENVSTEPS_PER_LAUNCH = 16384
 
     def rollout(self, actions, length: int = 10, chunk: int | None = None):
@@ -358,12 +362,19 @@ class CityRLEnv:
         This is the deployment shape when the policy lives on the same
         chip (obs never cross the host link); `step()` pays a host
         round-trip per call, which dominates through remote/tunneled
-        device transports. Long rollouts are split into device launches of
-        at most `chunk` steps (default sized off MAX_ENVSTEPS_PER_LAUNCH).
+        device transports. Long rollouts are split into device launches
+        sized by a measured-duration controller (scx.core.launch) toward
+        a ~20 s/launch target; pass `chunk` to force a fixed size.
         Returns (obs_means [L,N], rewards [L,N]).
         """
-        if chunk is None:
-            chunk = max(1, self.MAX_ENVSTEPS_PER_LAUNCH // self.n_envs)
+        import time as _time
+
+        from scx.core.launch import AdaptiveChunker
+
+        if self._chunker is None:
+            self._chunker = AdaptiveChunker(
+                init_env_steps=self.MAX_ENVSTEPS_PER_LAUNCH
+            )
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self._rollout_impl, static_argnums=3)
         actions = jnp.asarray(actions, jnp.float32)
@@ -371,13 +382,28 @@ class CityRLEnv:
         auxes = []
         done = 0
         while done < length:
-            step_n = min(chunk, length - done)
+            if chunk is not None:
+                step_n = min(chunk, length - done)
+            else:
+                step_n = self._chunker.chunk_steps(self.n_envs, length - done)
+            first_compile = step_n not in self._launched_lengths
+            t0 = _time.perf_counter()
             self.state, self.cache, nans, aux = self._rollout_jit(
                 self.state, self.cache, actions, step_n
             )
+            done += step_n
+            self._launched_lengths.add(step_n)
+            if chunk is None and done < length and not first_compile:
+                # measuring requires a sync; only pay it when another
+                # launch follows (chunk boundaries are seconds apart).
+                # First-compile launches are skipped: their wall time is
+                # dominated by XLA compilation, not execution.
+                jax.block_until_ready(nans)
+                self._chunker.observe(
+                    self.n_envs, step_n, _time.perf_counter() - t0
+                )
             auxes.append(aux)
             nan_parts.append(nans)
-            done += step_n
         self.last_info = {
             "nan_rollbacks": int(sum(int(n) for n in nan_parts)),
             "pair_overflow": 0,
