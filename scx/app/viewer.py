@@ -134,8 +134,25 @@ def main(argv=None):
         "--trace", default=None, metavar="LOGDIR",
         help="capture a jax.profiler trace of the run into LOGDIR",
     )
+    ap.add_argument(
+        "--edit", action="store_true",
+        help="open the interactive world editor instead of the sandbox "
+             "(scx.tools.editor_app: pick/gizmos/palette/undo/save)",
+    )
+    ap.add_argument("--world-root", default="/tmp/scx_world")
     ap.add_argument("--term-cols", type=int, default=110)
     args = ap.parse_args(argv)
+
+    if args.edit:
+        from scx.tools import editor_app
+
+        return editor_app.main(
+            [
+                "--world-root", args.world_root,
+                "--width", str(args.width), "--height", str(args.height),
+                "--term-cols", str(args.term_cols),
+            ]
+        )
 
     from scx.app import Sandbox
     from scx.render import RasterParams
