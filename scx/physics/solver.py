@@ -85,13 +85,42 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     n = contacts.normal
     t1, t2 = _orthonormal_tangents(n)
 
-    im_a = bodies.inv_mass[ia]
-    im_b = bodies.inv_mass[ib]
+    nb = bodies.n
+    C = ia.shape[0]
+    # generate_contacts emits contacts pair-blocked (ia = repeat(pair_ia, K),
+    # contacts.py:281), so every per-contact body lookup can run at PAIR
+    # granularity and broadcast to the K contacts: 4x fewer gather rows /
+    # 4x smaller one-hot matrices, which is the solve's HBM bill.
+    K = MAX_CONTACTS_PER_PAIR
+    pair_blocked = C % K == 0 and C >= K
+    if pair_blocked:
+        P = C // K
+        pia = ia.reshape(P, K)[:, 0]
+        pib = ib.reshape(P, K)[:, 0]
+
+    def from_pairs(x):
+        """Broadcast a [P,...] pair row to its K contacts -> [C,...]."""
+        return jnp.repeat(x, K, axis=0)
+
     iw = inv_inertia_world(bodies)
-    iw_a = iw[ia]
-    iw_b = iw[ib]
-    r_a = contacts.point - bodies.pos[ia]
-    r_b = contacts.point - bodies.pos[ib]
+    # one packed row per body (inv_mass, pos, inv inertia world): each
+    # endpoint costs ONE gathered row (TPU gathers move rows, CLAUDE.md
+    # quirk 8)
+    setup_rows = jnp.concatenate(
+        [bodies.inv_mass[:, None], bodies.pos, iw.reshape(nb, 9)], axis=-1
+    )
+    if pair_blocked:
+        rows_a = from_pairs(setup_rows[pia])
+        rows_b = from_pairs(setup_rows[pib])
+    else:
+        rows_a = setup_rows[ia]
+        rows_b = setup_rows[ib]
+    im_a = rows_a[:, 0]
+    im_b = rows_b[:, 0]
+    iw_a = rows_a[:, 4:13].reshape(C, 3, 3)
+    iw_b = rows_b[:, 4:13].reshape(C, 3, 3)
+    r_a = contacts.point - rows_a[:, 1:4]
+    r_b = contacts.point - rows_b[:, 1:4]
 
     def ang(iw_x, r, d):
         return jnp.einsum("...ij,...j->...i", iw_x, jnp.cross(r, d), precision=m3.PRECISION)
@@ -121,17 +150,24 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     # binning, pipeline.py:489), while batched matmuls are native — the RL
     # fleet's solve drops from scatter-bound to MXU-trivial. Gated on
     # C*N so one huge scene (sandbox at 4096 capacity) keeps row ops.
-    nb = bodies.n
-    C = ia.shape[0]
     use_mm = C * nb <= _ONE_HOT_LIMIT
     if use_mm:
         ar_n = jnp.arange(nb, dtype=ia.dtype)
-        onehot_a = ((ia[:, None] == ar_n[None, :]) & c_valid[:, None]).astype(
-            jnp.float32
-        )
-        onehot_b = ((ib[:, None] == ar_n[None, :]) & c_valid[:, None]).astype(
-            jnp.float32
-        )
+        if pair_blocked:
+            pvalid = c_valid.reshape(P, K).any(axis=1)
+            onehot_a = (
+                (pia[:, None] == ar_n[None, :]) & pvalid[:, None]
+            ).astype(jnp.float32)
+            onehot_b = (
+                (pib[:, None] == ar_n[None, :]) & pvalid[:, None]
+            ).astype(jnp.float32)
+        else:
+            onehot_a = (
+                (ia[:, None] == ar_n[None, :]) & c_valid[:, None]
+            ).astype(jnp.float32)
+            onehot_b = (
+                (ib[:, None] == ar_n[None, :]) & c_valid[:, None]
+            ).astype(jnp.float32)
 
     def _mm(x, y):
         return jnp.matmul(x, y, precision=m3.PRECISION)
@@ -140,27 +176,38 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
         if use_mm:
             a = _mm(onehot_a, vw)
             b = _mm(onehot_b, vw)
+        elif pair_blocked:
+            a = vw[pia]
+            b = vw[pib]
         else:
             a = vw[ia]
             b = vw[ib]
+        if pair_blocked:
+            a = from_pairs(a)
+            b = from_pairs(b)
         va = a[:, 0:3] + jnp.cross(a[:, 3:6], r_a)
         vb = b[:, 0:3] + jnp.cross(b[:, 3:6], r_b)
         return va - vb
 
     def apply_packed(vw, upd_a, upd_b):
+        # invalid contacts carry zero updates (deltas are c_valid-masked),
+        # so pair-summing before the scatter/matmul is exact
+        if pair_blocked:
+            upd_a = upd_a.reshape(P, K, 6).sum(axis=1)
+            upd_b = upd_b.reshape(P, K, 6).sum(axis=1)
+            if use_mm:
+                return vw + _mm(onehot_a.T, upd_a) - _mm(onehot_b.T, upd_b)
+            vw = vw.at[pia].add(upd_a, mode="drop")
+            vw = vw.at[pib].add(-upd_b, mode="drop")
+            return vw
         if use_mm:
             return vw + _mm(onehot_a.T, upd_a) - _mm(onehot_b.T, upd_b)
         vw = vw.at[ia].add(upd_a, mode="drop")
         vw = vw.at[ib].add(-upd_b, mode="drop")
         return vw
 
-    def rel_vel(vel, omega):
-        va = vel[ia] + jnp.cross(omega[ia], r_a)
-        vb = vel[ib] + jnp.cross(omega[ib], r_b)
-        return va - vb
-
     # restitution uses pre-solve normal velocity
-    v0 = rel_vel(bodies.vel, bodies.omega)
+    v0 = rel_vel_packed(jnp.concatenate([bodies.vel, bodies.omega], axis=-1))
     vn0 = m3.dot(v0, n)
     bounce = -contacts.restitution * jnp.where(
         vn0 < -params.restitution_threshold, vn0, 0.0
@@ -174,14 +221,28 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     # per iteration computed from the same stale velocity, which overshoots
     # by ~k and can oscillate. Scale each contact's step by 1/max(k_a, k_b):
     # the projected fixed point is unchanged, convergence becomes monotone.
-    if use_mm:
+    if pair_blocked:
+        w = c_valid.reshape(P, K).sum(axis=1).astype(jnp.float32)  # [P]
+        if use_mm:
+            cnt = jnp.matmul(w, onehot_a, precision=m3.PRECISION) + jnp.matmul(
+                w, onehot_b, precision=m3.PRECISION
+            )
+        else:
+            cnt = jnp.zeros((nb,), jnp.float32)
+            cnt = cnt.at[pia].add(w, mode="drop")
+            cnt = cnt.at[pib].add(w, mode="drop")
+        cnt_a = from_pairs(cnt[pia])
+        cnt_b = from_pairs(cnt[pib])
+    elif use_mm:
         cnt = onehot_a.sum(axis=0) + onehot_b.sum(axis=0)
+        cnt_a, cnt_b = cnt[ia], cnt[ib]
     else:
         cnt = jnp.zeros((nb,), jnp.float32)
         cnt = cnt.at[ia].add(c_valid.astype(jnp.float32), mode="drop")
         cnt = cnt.at[ib].add(c_valid.astype(jnp.float32), mode="drop")
-    touch_a = jnp.where(im_a > 0, cnt[ia], 1.0)
-    touch_b = jnp.where(im_b > 0, cnt[ib], 1.0)
+        cnt_a, cnt_b = cnt[ia], cnt[ib]
+    touch_a = jnp.where(im_a > 0, cnt_a, 1.0)
+    touch_b = jnp.where(im_b > 0, cnt_b, 1.0)
     relax = params.relaxation / jnp.maximum(jnp.maximum(touch_a, touch_b), 1.0)
 
     def iteration(carry, _):
