@@ -44,6 +44,7 @@ class ResidencyStats:
     cache_hits: int = 0
     cache_misses: int = 0
     fallback_binds: int = 0
+    reloads: int = 0
 
 
 @dataclass
@@ -185,6 +186,62 @@ class AssetManager:
             rec.bytes = self.slot_bytes
             rec.last_used_frame = self.frame
             self.stats.loads_completed += 1
+
+    def _decode_path(self, path: str | None) -> np.ndarray | None:
+        if not path:
+            return None
+        full = path if os.path.isabs(path) else os.path.join(
+            self.asset_root or ".", path
+        )
+        img = tex.load_image(full)
+        return None if img is None else tex.resample_to(img, self.slot_size)
+
+    def reload_texture(self, asset_id: int) -> bool:
+        """Hot-reload a disk texture in place: re-decode and overwrite its
+        slot so every material bound to it picks up the new pixels on the
+        next device_pool upload (EditorTextureCache::reload,
+        tools/world_editor/editor_core/sc_asset_db.h:100-116).
+        Non-resident records just re-queue.  Returns True when a resident
+        slot was refreshed."""
+        rec = self.textures.get(asset_id)
+        if rec is None or not rec.from_disk:
+            return False
+        if rec.slot < 0:
+            if asset_id not in self._load_queue:
+                self._load_queue.append(asset_id)
+                self.stats.loads_queued += 1
+            return False
+        img = self._decode_path(getattr(rec, "path", None))
+        if img is None:
+            img = tex.resample_to(tex.fallback_texture(), self.slot_size)
+            self.stats.fallback_binds += 1
+        self._write_slot(rec.slot, img)
+        rec.last_used_frame = self.frame
+        self.stats.reloads += 1
+        return True
+
+    def process_asset_changes(self, db) -> list[int]:
+        """Consume an editor AssetDatabase rescan: reload changed textures
+        we hold, evict removed ones (their materials rebind to the fallback
+        slot on the next device_materials build).  `db` is a
+        scx.tools.asset_db.AssetDatabase rooted at this manager's asset
+        root.  Returns the ids actually reloaded in place.
+
+        Mirrors the reference editor's change pump: AssetDatabase mtime
+        rescan feeding EditorTextureCache::reload
+        (tools/world_editor/editor_core/sc_asset_db.h:100-156)."""
+        reloaded: list[int] = []
+        for aid in db.rescan_changed():
+            if db.find_by_id(aid) is None:
+                rec = self.textures.pop(aid, None)
+                if rec is not None and rec.slot >= 0:
+                    self._free_slots.append(rec.slot)
+                    self._pool_dirty = True
+                    self.stats.evictions += 1
+                continue
+            if self.reload_texture(aid):
+                reloaded.append(aid)
+        return reloaded
 
     def touch(self, asset_id: int):
         """LRU touch (touchMaterial/touch, sc_assets.cpp:441-455)."""

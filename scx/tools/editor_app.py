@@ -110,6 +110,7 @@ class EditorSession:
         width: int = 320,
         height: int = 176,
         palette: list | None = None,
+        asset_root: str | None = None,
     ):
         self.doc = doc if doc is not None else EditorDocument()
         self.stack = CommandStack()
@@ -121,6 +122,9 @@ class EditorSession:
         self.palette = palette if palette is not None else default_palette()
         self.palette_idx = 0
         self.world_root = world_root
+        self.asset_root = asset_root
+        self.asset_db = None   # lazy scx.tools.asset_db.AssetDatabase
+        self.assets = None     # lazy scx.assets.residency.AssetManager
         self.status = "select"
         self.quit = False
         self.saved_path: str | None = None
@@ -202,6 +206,8 @@ class EditorSession:
             self.status = "redo" if self.stack.redo(self.doc) else "nothing to redo"
         elif key == "W":
             self.save()
+        elif key == "F":
+            self.pump_asset_changes()
         elif key in ("g", "r", "s"):
             if not self.doc.selection:
                 self.status = "no selection"
@@ -409,6 +415,45 @@ class EditorSession:
             self.status = f"loaded {path}"
         return self.doc
 
+    # -- asset hot-reload ------------------------------------------------
+    def _ensure_assets(self):
+        if self.asset_root is None:
+            return False
+        if self.asset_db is None:
+            from scx.assets.residency import AssetManager
+            from scx.tools.asset_db import AssetDatabase
+
+            self.asset_db = AssetDatabase(root=self.asset_root)
+            self.asset_db.scan_all()
+            self.assets = AssetManager(asset_root=self.asset_root)
+        return True
+
+    def pump_asset_changes(self):
+        """Rescan the asset root and hot-reload what changed: textures are
+        re-decoded into their resident slots, new models join the palette
+        (reference: the editor's AssetDatabase rescan feeding
+        EditorTextureCache/EditorModelCache::reload,
+        tools/world_editor/editor_core/sc_asset_db.h:100-156)."""
+        if not self._ensure_assets():
+            self.status = "no asset root"
+            return []
+        from scx.tools.asset_db import AssetKind
+        from scx.world import procgen
+
+        reloaded = self.assets.process_asset_changes(self.asset_db)
+        have = {it["mesh_id"] for it in self.palette}
+        added = 0
+        for e in self.asset_db.find_by_kind(AssetKind.MODEL):
+            if e.id not in have:
+                self.palette.append(
+                    {"label": os.path.basename(e.rel_path), "mesh_id": e.id,
+                     "material_id": procgen.MATERIAL_UNLIT_ID,
+                     "scale": (1.0, 1.0, 1.0)}
+                )
+                added += 1
+        self.status = f"assets: {len(reloaded)} reloaded, {added} new models"
+        return reloaded
+
     # -- rendering ------------------------------------------------------
     def render(self):
         """Viewport frame: document through the runtime renderer + grid /
@@ -493,7 +538,7 @@ def main(argv=None):
     )
     sess = EditorSession(
         world_root=args.world_root, width=args.width, height=args.height,
-        palette=palette,
+        palette=palette, asset_root=args.asset_root,
     )
     sess.load()
 

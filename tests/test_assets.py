@@ -2,6 +2,7 @@
 budgets/eviction."""
 
 import json
+import os
 import struct
 
 import numpy as np
@@ -163,3 +164,64 @@ def test_material_table_and_pool():
     assert int(mats.texture_id[slot]) >= 2  # a real pool slot
     pool = am.device_pool()
     assert pool.shape == (4, 8, 8, 3)
+
+
+def _write_ppm(path, value: int, size: int = 8):
+    img = np.full((size, size, 3), value, np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(f"P6\n{size} {size}\n255\n".encode() + img.tobytes())
+
+
+def test_hot_reload_texture(tmp_path):
+    """Touching a texture on disk and pumping the AssetDatabase rescan must
+    rebind the resident slot to the new pixels (VERDICT r2 item 7;
+    reference: editor_core/sc_asset_db.h:100-156 reload path)."""
+    from scx.tools.asset_db import AssetDatabase
+
+    _write_ppm(tmp_path / "wall.ppm", 10)
+    _write_ppm(tmp_path / "roof.ppm", 200)
+    am = AssetManager(asset_root=str(tmp_path), pool_slots=8, slot_size=16)
+    tid = am.load_texture("wall.ppm")
+    rid = am.load_texture("roof.ppm")
+    mat = am.create_material("materials/wall", albedo_texture=tid)
+    am.begin_frame()
+    db = AssetDatabase(root=str(tmp_path))
+    db.scan_all()
+
+    slot = am.textures[tid].slot
+    assert slot >= 0
+    before = np.asarray(am.device_pool())[slot].copy()
+    np.testing.assert_allclose(before.mean(), 10 / 255.0, atol=2e-2)
+
+    # rewrite the file with new pixels and a strictly newer mtime
+    _write_ppm(tmp_path / "wall.ppm", 250)
+    os.utime(tmp_path / "wall.ppm", (os.path.getmtime(tmp_path / "wall.ppm") + 5,) * 2)
+
+    reloaded = am.process_asset_changes(db)
+    assert reloaded == [tid]
+    assert am.stats.reloads == 1
+    after = np.asarray(am.device_pool())[slot]
+    np.testing.assert_allclose(after.mean(), 250 / 255.0, atol=2e-2)
+    # material still binds the same (refreshed) slot
+    mats = am.device_materials()
+    assert int(mats.texture_id[mat]) == slot
+    # untouched texture unchanged; second rescan is a no-op
+    assert am.process_asset_changes(db) == []
+    assert am.textures[rid].slot >= 0
+
+
+def test_hot_reload_removed_file_evicts(tmp_path):
+    from scx.tools.asset_db import AssetDatabase
+
+    _write_ppm(tmp_path / "gone.ppm", 99)
+    am = AssetManager(asset_root=str(tmp_path), pool_slots=8, slot_size=16)
+    tid = am.load_texture("gone.ppm")
+    mat = am.create_material("materials/gone", albedo_texture=tid)
+    am.begin_frame()
+    db = AssetDatabase(root=str(tmp_path))
+    db.scan_all()
+    os.remove(tmp_path / "gone.ppm")
+    assert am.process_asset_changes(db) == []
+    assert tid not in am.textures
+    mats = am.device_materials()
+    assert int(mats.texture_id[mat]) == FALLBACK_SLOT

@@ -216,3 +216,42 @@ def test_session_render_smoke():
     assert rgb.std() > 0.01
     cx, cy = sess.cursor
     np.testing.assert_allclose(rgb[cy, cx], (1.0, 1.0, 1.0))
+
+
+def test_editor_asset_hot_reload_pump(tmp_path):
+    """Key 'F' rescans the asset root: changed textures reload in place,
+    new models join the palette (VERDICT r2 item 7)."""
+    import os
+
+    import numpy as np
+
+    from scx.tools.editor_app import EditorSession
+
+    img = np.full((8, 8, 3), 20, np.uint8)
+    with open(tmp_path / "brick.ppm", "wb") as fh:
+        fh.write(b"P6\n8 8\n255\n" + img.tobytes())
+
+    sess = EditorSession(world_root=str(tmp_path / "world"),
+                         asset_root=str(tmp_path))
+    n_palette = len(sess.palette)
+    sess.handle_key("F")
+    assert "assets:" in sess.status
+    tid = sess.assets.load_texture("brick.ppm")
+    sess.assets.begin_frame()
+    slot = sess.assets.textures[tid].slot
+    assert slot >= 0
+
+    # change the texture + add a new model file
+    img2 = np.full((8, 8, 3), 240, np.uint8)
+    with open(tmp_path / "brick.ppm", "wb") as fh:
+        fh.write(b"P6\n8 8\n255\n" + img2.tobytes())
+    os.utime(tmp_path / "brick.ppm",
+             (os.path.getmtime(tmp_path / "brick.ppm") + 7,) * 2)
+    (tmp_path / "crate.glb").write_bytes(b"stub")
+
+    reloaded = sess.pump_asset_changes()
+    assert reloaded == [tid]
+    after = np.asarray(sess.assets.device_pool())[slot]
+    assert abs(float(after.mean()) - 240 / 255.0) < 2e-2
+    assert len(sess.palette) == n_palette + 1
+    assert sess.palette[-1]["label"] == "crate.glb"
