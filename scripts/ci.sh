@@ -1,10 +1,20 @@
 #!/usr/bin/env bash
-# CI: full test suite (CPU backend, 8 virtual devices via tests/conftest.py)
-# plus a tiny CPU smoke of the two graft entry points and the bench path.
+# CI: test suite (CPU backend, 8 virtual devices via tests/conftest.py)
+# plus a tiny CPU smoke of the two graft entry points.
+#
+# Tiers:
+#   scripts/ci.sh           full suite (~45 min on a slow/loaded box)
+#   scripts/ci.sh --quick   every subsystem, slowest equivalence/e2e tests
+#                           excluded via '-m "not slow"' (< ~10 min)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-python -m pytest tests/ -q
+PYTEST_ARGS=()
+if [[ "${1:-}" == "--quick" ]]; then
+  PYTEST_ARGS+=(-m "not slow")
+fi
+
+python -m pytest tests/ -q "${PYTEST_ARGS[@]}"
 
 python - <<'PY'
 import jax

@@ -100,6 +100,195 @@ def make_bigscene_step(
     return jax.jit(fn)
 
 
+def entity_draws(pos, rot, scale, mesh_id, material_id, alive):
+    """Gathered entity columns -> DrawList (render prep without the draw
+    budget: the whole fleet is the budget here)."""
+    model = jax.vmap(m3.mat4_trs_quat)(pos, rot, scale)
+    return DrawList(
+        mesh_id=jnp.maximum(mesh_id, 0),
+        material_id=jnp.maximum(material_id, 0),
+        model=model,
+        valid=alive & (mesh_id >= 0),
+    )
+
+
+def make_bigscene_entity_step(
+    mesh,
+    cfg,
+    sim,
+    raster: RasterParams | None,
+    x0: float,
+    shard_width: float,
+    halo: float = 24.0,
+    halo_cap: int = 32,
+    mig_cap: int = 16,
+    n_steps: int = 1,
+):
+    """FULL engine semantics in the spatially-sharded huge scene: traffic
+    AI + vehicles (player included) + physics per x-strip, entity rows
+    migrating between strips (VERDICT r2 item 4).
+
+    Each shard owns an EntityState strip. Per fixed step, inside one
+    shard_map:
+      1. ghost halo exchange of whole entity ROWS (all component columns
+         travel: a ghost vehicle re-runs its AI + wheel forces in the
+         neighbor's frame, so straddling-pair impulses match the owner's —
+         same relaxed-Jacobi argument as scx.parallel.spatial);
+      2. traffic_ai_update then physics_sync_step on [local + ghosts]
+         (the make_sim_tick system order, scx/app/sandbox.py:120-124),
+         with a cold contact cache (migration invalidates pair keys);
+      3. ownership migration via pack/splice of entity rows.
+    `lanes` ride replicated (read-only, tiny). Exact equivalence with the
+    single-chip step requires halo >= cfg.traffic.front_ray_length plus
+    interaction range — the sensor ray must see everything it would see
+    globally.
+
+    Returns jitted f(state [S,N] over 'sp', lanes, view_proj) ->
+    (state', rgb rows over 'sp' | None, stats). With raster=None the
+    render stage is skipped (pure sim, e.g. equivalence tests on the
+    physics+AI semantics).
+    """
+    from jax import shard_map
+
+    from scx.parallel.spatial import pack_rows, splice_rows, _neighbor_shift
+    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics.world import bodies_from_state, physics_sync_step
+    from scx.state import entity as ent
+    from scx.traffic.ai import traffic_ai_update
+
+    tcfg = cfg.traffic
+    dt = cfg.physics.fixed_dt
+    n_shards = mesh.shape["sp"]
+    if raster is not None:
+        rows_per = raster.height // n_shards
+        assert rows_per % raster.tile_h == 0, "strip rows must align to tile_h"
+        pool = build_mesh_pool()
+
+    def one_step(s, lanes):
+        k = jax.lax.axis_index("sp")
+        x_lo = x0 + k.astype(jnp.float32) * shard_width
+        x_hi = x_lo + shard_width
+        x = s.transform.pos[:, 0]
+        has_left = k > 0
+        has_right = k < n_shards - 1
+
+        # ghost selection is EXTENT-aware: a wide static (a ground slab
+        # whose center is mid-strip) still reaches the boundary, and a
+        # vehicle's wheel rays must find it from the neighbor's frame.
+        # Conservative rotation-free radius = |half_extents|.
+        r = jnp.where(
+            (s.components & ent.C_COLLIDER) != 0,
+            jnp.linalg.norm(s.body.half_extents, axis=-1),
+            0.0,
+        )
+        to_left, dl = pack_rows(
+            s, (x - r < x_lo + halo) & has_left, halo_cap, field="alive"
+        )
+        to_right, dr = pack_rows(
+            s, (x + r >= x_hi - halo) & has_right, halo_cap, field="alive"
+        )
+        from_right = _neighbor_shift(to_left, "sp", -1, n_shards)
+        from_left = _neighbor_shift(to_right, "sp", +1, n_shards)
+        combined = jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+            s, from_left, from_right,
+        )
+
+        bodies = bodies_from_state(combined)
+        is_veh = (combined.components & ent.C_VEHICLE) != 0
+        combined = traffic_ai_update(combined, lanes, bodies, is_veh, tcfg, dt)
+        cache = empty_contact_cache(sim.solver.max_pairs)
+        combined, _, pstats = physics_sync_step(
+            combined, sim.solver, sim.vehicle, dt, cache
+        )
+
+        n = s.alive.shape[0]
+        s = jax.tree.map(lambda a: a[:n], combined)
+
+        x = s.transform.pos[:, 0]
+        mig_l = (x < x_lo) & has_left & s.alive
+        mig_r = (x >= x_hi) & has_right & s.alive
+        out_l, ml = pack_rows(s, mig_l, mig_cap, field="alive")
+        out_r, mr = pack_rows(s, mig_r, mig_cap, field="alive")
+        s = s.replace(alive=s.alive & ~(mig_l | mig_r))
+        in_r = _neighbor_shift(out_l, "sp", -1, n_shards)
+        in_l = _neighbor_shift(out_r, "sp", +1, n_shards)
+        s, d1 = splice_rows(s, in_l, field="alive")
+        s, d2 = splice_rows(s, in_r, field="alive")
+
+        stats = {
+            "alive": jnp.sum(s.alive.astype(jnp.int32)),
+            "halo_dropped": dl + dr,
+            "migrated": jnp.sum(out_l.alive.astype(jnp.int32))
+            + jnp.sum(out_r.alive.astype(jnp.int32)),
+            "migration_dropped": ml + mr + d1 + d2,
+            "pair_overflow": pstats["pair_overflow"],
+        }
+        return s, stats
+
+    def render_strip(s, vp):
+        gather = lambda a: jax.lax.all_gather(a, "sp").reshape(
+            (-1,) + a.shape[1:]
+        )
+        draws = entity_draws(
+            gather(s.transform.pos), gather(s.transform.rot),
+            gather(s.transform.scale), gather(s.render.mesh_id),
+            gather(s.render.material_id), gather(s.alive),
+        )
+        row0 = jax.lax.axis_index("sp") * rows_per
+        return render_frame_rows(draws, pool, vp, raster, row0, rows_per)
+
+    def local(state_slice, lanes, vp):
+        s = jax.tree.map(lambda a: a[0], state_slice)
+
+        def body(carry, _):
+            st, _, _ = carry
+            st, stats = one_step(st, lanes)
+            if raster is not None:
+                # render every chained step (composed sim+render cost);
+                # decimated sum keeps the frame from being DCE'd
+                rgb, _, _ = render_strip(st, vp)
+                sink = rgb[::16, ::16].sum()
+            else:
+                sink = jnp.float32(0)
+            return (st, stats, sink), None
+
+        s, stats = one_step(s, lanes)
+        sink = jnp.float32(0)
+        if n_steps > 1:
+            (s, stats, sink), _ = jax.lax.scan(
+                body, (s, stats, sink), None, length=n_steps - 1
+            )
+        stats = jax.tree.map(lambda v: jax.lax.psum(v, "sp"), stats)
+
+        if raster is None:
+            return jax.tree.map(lambda a: a[None], s), stats
+
+        rgb, _, rstats = render_strip(s, vp)
+        stats["tile_overflow"] = jax.lax.psum(rstats["tile_overflow"], "sp")
+        stats["rgb_sink"] = sink + rgb[::16, ::16].sum()
+        return jax.tree.map(lambda a: a[None], s), rgb, stats
+
+    if raster is None:
+        def sim_only(state_slice, lanes, vp):
+            return local(state_slice, lanes, vp)
+
+        fn = shard_map(
+            sim_only, mesh=mesh,
+            in_specs=(P("sp"), P(), P()),
+            out_specs=(P("sp"), P()),
+            check_vma=False,
+        )
+    else:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("sp"), P(), P()),
+            out_specs=(P("sp"), P("sp", None, None), P()),
+            check_vma=False,
+        )
+    return jax.jit(fn)
+
+
 def make_bigscene_chain(mesh, params, raster, x0, shard_width, n_steps,
                         halo=4.0, halo_cap=32, mig_cap=16):
     """Device-chained variant: `n_steps` full sim+render steps inside ONE

@@ -39,14 +39,16 @@ from scx.physics.solver import SolverParams, step_bodies_cached
 from scx.physics.warmstart import empty_contact_cache
 
 
-def pack_rows(bodies: RigidBodies, mask, cap: int):
-    """Compact masked body rows into a fixed [cap] buffer (scatter-rank —
-    TPU-friendly: one cumsum + one scatter, no sort).
+def pack_rows(bodies, mask, cap: int, field: str = "active"):
+    """Compact masked rows of a row-pytree into a fixed [cap] buffer
+    (scatter-rank — TPU-friendly: one cumsum + one scatter, no sort).
 
-    Returns (packed bodies [cap] with .active false on empty slots,
-    dropped count)."""
+    Works on any struct whose leaves are [N, ...] columns with a boolean
+    activity column named `field` (RigidBodies.active, EntityState.alive).
+    Returns (packed rows [cap] with the activity column false on empty
+    slots, dropped count)."""
     n = mask.shape[0]
-    mask = mask & bodies.active
+    mask = mask & getattr(bodies, field)
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slot = jnp.where(mask, jnp.minimum(rank, cap), cap)
     src = (
@@ -57,20 +59,20 @@ def pack_rows(bodies: RigidBodies, mask, cap: int):
     valid = src >= 0
     safe = jnp.maximum(src, 0)
     packed = jax.tree.map(lambda a: a[safe], bodies)
-    packed = packed.replace(active=packed.active & valid)
+    packed = packed.replace(**{field: getattr(packed, field) & valid})
     total = jnp.sum(mask.astype(jnp.int32))
     dropped = jnp.maximum(total - cap, 0)
     return packed, dropped
 
 
-def splice_rows(local: RigidBodies, incoming: RigidBodies):
+def splice_rows(local, incoming, field: str = "active"):
     """Write incoming active rows into the first free local slots.
 
     Returns (local', dropped) — dropped counts incoming rows that found no
     free slot (capacity pressure, surfaced in stats)."""
-    n = local.active.shape[0]
-    m = incoming.active.shape[0]
-    free = ~local.active
+    n = getattr(local, field).shape[0]
+    m = getattr(incoming, field).shape[0]
+    free = ~getattr(local, field)
     # index of the k-th free slot, k < m (scatter-rank over free slots)
     frank = jnp.cumsum(free.astype(jnp.int32)) - 1
     fslot = jnp.where(free, jnp.minimum(frank, m), m)
@@ -79,7 +81,7 @@ def splice_rows(local: RigidBodies, incoming: RigidBodies):
         .at[fslot]
         .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:m]
     )
-    ok = incoming.active & (dest >= 0)
+    ok = getattr(incoming, field) & (dest >= 0)
     target = jnp.where(ok, jnp.maximum(dest, 0), n)  # n == dropped sentinel
 
     def put(loc, inc):
@@ -88,7 +90,7 @@ def splice_rows(local: RigidBodies, incoming: RigidBodies):
     out = jax.tree.map(put, local, incoming)
     # target==n rows fall off via mode="drop"; an inactive incoming row that
     # reached a free slot writes active=False, so the slot remains free.
-    dropped = jnp.sum((incoming.active & (dest < 0)).astype(jnp.int32))
+    dropped = jnp.sum((getattr(incoming, field) & (dest < 0)).astype(jnp.int32))
     return out, dropped
 
 

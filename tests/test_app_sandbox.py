@@ -34,6 +34,7 @@ def test_world_streams_and_traffic_spawns(sandbox):
     assert rgb.shape == (32, 128, 3)
 
 
+@pytest.mark.slow
 def test_player_vehicle_drives(sandbox):
     p0 = np.asarray(sandbox.state.transform.pos[sandbox.player_slot]).copy()
     for _ in range(60):

@@ -3,6 +3,7 @@ under a world root become device pool meshes + materials, and authored
 sector instances referencing those asset ids stream in with the right
 slots (reference handle-resolution path, sc_world_partition.cpp:746-797)."""
 
+import pytest
 import time
 
 import numpy as np
@@ -58,6 +59,7 @@ def test_no_registry_returns_none(tmp_path):
     assert load_world_content(str(tmp_path), assets) is None
 
 
+@pytest.mark.slow
 def test_sandbox_streams_glb_instance(tmp_path):
     from scx.app import Sandbox
     from scx.render import RasterParams

@@ -7,6 +7,7 @@ speeds (including a 10x-slow one) and assert the controller never sizes
 a launch whose simulated duration exceeds the hard bound.
 """
 
+import pytest
 import math
 
 from scx.core.launch import AdaptiveChunker
@@ -84,6 +85,7 @@ def test_chunks_are_powers_of_two():
         ch.observe(n, s, 3e-7 * n * s)
 
 
+@pytest.mark.slow
 def test_rlenv_rollout_uses_adaptive_chunks():
     """End-to-end: a tiny CityRLEnv rollout on the CPU backend goes
     through the adaptive path (chunk=None), covers the full length, and

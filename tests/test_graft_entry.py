@@ -1,6 +1,7 @@
 """Driver entry points stay runnable: single-chip step + multi-chip dryrun
 on the virtual CPU mesh."""
 
+import pytest
 import importlib.util
 import os
 
@@ -33,6 +34,7 @@ def test_dryrun_multichip_8():
     m.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_without_conftest():
     """Reproduce the DRIVER environment: a fresh process that does NOT get
     conftest's 8 virtual CPU devices must still pass dryrun_multichip(8) by

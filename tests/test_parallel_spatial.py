@@ -2,6 +2,7 @@
 ownership migration over the 'sp' mesh axis must reproduce the single-chip
 solve on the same global scene."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,6 +78,7 @@ def sorted_active(bodies_pos, active):
     return pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
 
 
+@pytest.mark.slow
 def test_spatial_equals_global():
     params = ph.SolverParams(max_pairs=256, iterations=8)
     bodies, n = build_global_scene()

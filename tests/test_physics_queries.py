@@ -1,5 +1,6 @@
 """Raycast / sphere-cast correctness against analytic hits."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,6 +116,7 @@ def test_capsule_cast_vertical_extent_catches_offset_target():
     assert bool(hit.hit) and int(hit.body) == 0
 
 
+@pytest.mark.slow
 def test_trigger_overlap_reported_not_solved():
     """Trigger colliders generate overlap events but no impulses
     (sc_physics.cpp:372-379): a box falls THROUGH a trigger volume."""

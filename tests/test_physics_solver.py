@@ -1,6 +1,7 @@
 """Physics correctness: integration, contacts, stacking, friction,
 restitution, vmap equivalence."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -232,6 +233,7 @@ def test_pair_overflow_reported_not_silent():
     assert int(stats["pairs"]) == 16  # cap saturated
 
 
+@pytest.mark.slow
 def test_one_hot_and_scatter_solve_paths_agree(monkeypatch):
     """The MXU one-hot solve (small scenes) and the row-scatter solve
     (huge scenes) are the same algorithm — results must match closely."""

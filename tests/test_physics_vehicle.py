@@ -1,6 +1,7 @@
 """Raycast vehicle: suspension holds the chassis, throttle accelerates,
 steering turns, handbrake reduces rear grip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,7 @@ def test_brake_stops_car():
     assert abs(float(out.vel[1, 2])) < 0.3
 
 
+@pytest.mark.slow
 def test_steering_turns():
     bodies, wheels, params = car_scene()
     mid, _ = jax.jit(drive, static_argnums=(3, 4, 5, 6, 7))(

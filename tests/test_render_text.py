@@ -1,5 +1,6 @@
 """In-framebuffer debug text overlay (scx.render.debug_text)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,7 @@ def test_stamp_text_blends():
     np.testing.assert_allclose(out[30:, :], 0.5)
 
 
+@pytest.mark.slow
 def test_sandbox_overlay_text():
     from scx.app.sandbox import Sandbox
     from scx.core.config import EngineConfig

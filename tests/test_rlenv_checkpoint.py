@@ -1,5 +1,6 @@
 """RL env batch stepping + checkpoint roundtrip + job system."""
 
+import pytest
 import numpy as np
 
 from scx.app.checkpoint import load_checkpoint, save_checkpoint
@@ -22,6 +23,7 @@ def test_rlenv_steps_and_renders():
     assert np.abs(np.asarray(obs[0]) - np.asarray(obs[1])).max() > 0.01
 
 
+@pytest.mark.slow
 def test_rlenv_deterministic():
     e1 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
     e2 = CityRLEnv(n_envs=2, capacity=96, obs_size=32, n_traffic=2, interpret=True)
@@ -72,6 +74,7 @@ def test_job_system():
     js.shutdown()
 
 
+@pytest.mark.slow
 def test_rlenv_rollout_matches_stepping():
     """Device-chained rollout == the same number of host step() calls."""
     import numpy as np
@@ -95,6 +98,7 @@ def test_rlenv_rollout_matches_stepping():
     assert obs_means.shape == (3, 2)
 
 
+@pytest.mark.slow
 def test_rlenv_rollout_chunked_matches_single_launch():
     """Chunked device launches (watchdog guard) == one long launch."""
     import numpy as np

@@ -1,6 +1,7 @@
 """Env-sharded rollout: the shard_map('dp') path must reproduce the
 unsharded vmap rollout bitwise (per-env math is untouched by placement)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def _make_env():
     )
 
 
+@pytest.mark.slow
 def test_sharded_rollout_matches_vmap_bitwise():
     ref = _make_env()
     obs_ref, rew_ref = ref.rollout(ACTIONS, length=3)
