@@ -45,6 +45,11 @@ class SolverParams:
     relaxation: float = struct.field(pytree_node=False, default=0.8)
     max_pairs: int = struct.field(pytree_node=False, default=128)
     warm_start: float = struct.field(pytree_node=False, default=0.85)
+    # graph-colored Gauss-Seidel option: > 0 enables greedy pair coloring
+    # with sequential color passes (Jacobi within a color) — Bullet's
+    # sequential-impulse convergence for stiff stacks (sc_physics.cpp:
+    # 283-302), batched. 0 keeps the pure relaxed-Jacobi path.
+    colors: int = struct.field(pytree_node=False, default=0)
     # Bullet deactivation defaults (btRigidBody: 0.8 lin / 1.0 ang / 2 s)
     sleep_lin: float = struct.field(pytree_node=False, default=0.8)
     sleep_ang: float = struct.field(pytree_node=False, default=1.0)
@@ -55,6 +60,37 @@ class SolverParams:
 # instead of row gathers/scatters (see solve_velocity; tests patch this to
 # force either path)
 _ONE_HOT_LIMIT = 1 << 20
+
+
+def _greedy_pair_colors(pa, pb, valid, dyn, k_colors: int):
+    """First-fit greedy coloring of the pair list: no two VALID pairs
+    sharing a DYNAMIC body get the same color (static bodies never move,
+    so pairs may share them freely). Deterministic sequential scan over
+    the fixed-capacity list; if a pair needs more than k_colors it wraps
+    into the last color (still convergent — the per-color relax rescales).
+
+    Returns [P] i32 colors in [0, k_colors)."""
+    k = k_colors
+    cbits = jnp.arange(k, dtype=jnp.int32)
+
+    def body(used, i):
+        a, b = pa[i], pb[i]
+        ua = jnp.where(dyn[a], used[a], 0)
+        ub = jnp.where(dyn[b], used[b], 0)
+        avail = ~(ua | ub)
+        free = (avail >> cbits) & 1
+        color = jnp.argmax(free).astype(jnp.int32)  # first free bit
+        color = jnp.where(free[color] > 0, color, k - 1)
+        mark = jnp.where(valid[i], jnp.int32(1) << color, 0)
+        used = used.at[a].set(used[a] | jnp.where(dyn[a], mark, 0))
+        used = used.at[b].set(used[b] | jnp.where(dyn[b], mark, 0))
+        return used, color
+
+    nb = dyn.shape[0]
+    _, colors = jax.lax.scan(
+        body, jnp.zeros((nb,), jnp.int32), jnp.arange(pa.shape[0])
+    )
+    return colors
 
 
 def _orthonormal_tangents(n):
@@ -245,25 +281,26 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     touch_b = jnp.where(im_b > 0, cnt_b, 1.0)
     relax = params.relaxation / jnp.maximum(jnp.maximum(touch_a, touch_b), 1.0)
 
-    def iteration(carry, _):
-        vw, ln, l1, l2 = carry
-        v = rel_vel_packed(vw)  # friction uses pre-normal-update vel (Jacobi)
+    def masked_pass(vw, ln, l1, l2, active, relax_arr):
+        """One projected-impulse sweep over the contacts in `active`
+        (Jacobi within the set), returning updated accumulators + vw."""
+        v = rel_vel_packed(vw)  # friction uses pre-normal-update vel
         vn = m3.dot(v, n)
 
-        d_ln = (target - vn) / kn * relax
+        d_ln = (target - vn) / kn * relax_arr
         ln_new = jnp.maximum(ln + d_ln, 0.0)
-        d_ln = jnp.where(c_valid, ln_new - ln, 0.0)
+        d_ln = jnp.where(active, ln_new - ln, 0.0)
         ln_new = ln + d_ln
 
         max_f = contacts.friction * ln_new
         vt1 = m3.dot(v, t1)
         vt2 = m3.dot(v, t2)
-        d_l1 = -vt1 / k1 * relax
-        d_l2 = -vt2 / k2 * relax
+        d_l1 = -vt1 / k1 * relax_arr
+        d_l2 = -vt2 / k2 * relax_arr
         l1_new = jnp.clip(l1 + d_l1, -max_f, max_f)
         l2_new = jnp.clip(l2 + d_l2, -max_f, max_f)
-        d_l1 = jnp.where(c_valid, l1_new - l1, 0.0)
-        d_l2 = jnp.where(c_valid, l2_new - l2, 0.0)
+        d_l1 = jnp.where(active, l1_new - l1, 0.0)
+        d_l2 = jnp.where(active, l2_new - l2, 0.0)
         l1_new = l1 + d_l1
         l2_new = l2 + d_l2
 
@@ -274,7 +311,45 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
         upd_a = jnp.concatenate([imp * im_a[:, None], dw_a], axis=-1)
         upd_b = jnp.concatenate([imp * im_b[:, None], dw_b], axis=-1)
         vw = apply_packed(vw, upd_a, upd_b)
-        return (vw, ln_new, l1_new, l2_new), None
+        return vw, ln_new, l1_new, l2_new
+
+    n_colors = params.colors
+    if n_colors > 0 and pair_blocked:
+        # graph-colored Gauss-Seidel: pairs of a color are body-disjoint,
+        # so each color pass sees the velocities the previous pass wrote —
+        # sequential-impulse convergence with batched inner math.
+        pvalid = c_valid.reshape(P, K).any(axis=1)
+        dyn = bodies.inv_mass > 0
+        pcolors = _greedy_pair_colors(pia, pib, pvalid, dyn, n_colors)
+        ccolors = from_pairs(pcolors)
+        color_masks = [c_valid & (ccolors == c) for c in range(n_colors)]
+        # per-color relax: within a color each dynamic body is touched by
+        # ONE pair (up to K manifold contacts applied Jacobi-style), except
+        # in the overflow color — recount per color
+        color_relax = []
+        for c in range(n_colors):
+            w_c = color_masks[c].reshape(P, K).sum(axis=1).astype(jnp.float32)
+            cnt_c = jnp.zeros((nb,), jnp.float32)
+            cnt_c = cnt_c.at[pia].add(w_c, mode="drop")
+            cnt_c = cnt_c.at[pib].add(w_c, mode="drop")
+            ta = jnp.where(im_a > 0, from_pairs(cnt_c[pia]), 1.0)
+            tb = jnp.where(im_b > 0, from_pairs(cnt_c[pib]), 1.0)
+            color_relax.append(
+                params.relaxation / jnp.maximum(jnp.maximum(ta, tb), 1.0)
+            )
+
+        def iteration(carry, _):
+            vw, ln, l1, l2 = carry
+            for c in range(n_colors):
+                vw, ln, l1, l2 = masked_pass(
+                    vw, ln, l1, l2, color_masks[c], color_relax[c]
+                )
+            return (vw, ln, l1, l2), None
+    else:
+        def iteration(carry, _):
+            vw, ln, l1, l2 = carry
+            vw, ln, l1, l2 = masked_pass(vw, ln, l1, l2, c_valid, relax)
+            return (vw, ln, l1, l2), None
 
     zeros_c = jnp.zeros_like(kn)
     vw0 = jnp.concatenate([bodies.vel, bodies.omega], axis=-1)

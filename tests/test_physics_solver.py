@@ -293,3 +293,48 @@ def test_broadphase_topk_and_scatter_paths_agree(monkeypatch):
 
     for a, c in zip(run(1 << 30), run(0)):
         np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.slow
+def test_tower_12_boxes_colored_gauss_seidel():
+    """VERDICT r2 item 5 done-criterion: a 12-box tower is stable for
+    1,000 steps at 60 Hz with <= 6 iterations under the graph-colored
+    Gauss-Seidel option, where the pure Jacobi path visibly creeps
+    (Bullet's sequential impulse, sc_physics.cpp:283-302, batched)."""
+    ys = 0.5 + 1.0 * np.arange(12)
+    pos = np.zeros((12, 3), np.float32)
+    pos[:, 1] = ys
+
+    def run(colors):
+        p = ph.SolverParams(max_pairs=64, iterations=6, colors=colors)
+        b = make_ground_scene(jnp.asarray(pos))
+        out = jax.jit(run_steps, static_argnums=2)(b, p, 1000)
+        got = np.asarray(out.pos[1:13])
+        dy = np.abs(got[:, 1] - np.arange(12.0)).max()
+        lat = np.abs(got[:, (0, 2)]).max()
+        return dy, lat, float(jnp.abs(out.vel[1:13]).max())
+
+    dy_c, lat_c, v_c = run(colors=4)
+    assert dy_c < 0.35 and lat_c < 0.05, (dy_c, lat_c)
+    assert v_c < 0.05  # quiescent (sleeping)
+    # the Jacobi path at the same budget drifts (measured: lat ~0.43)
+    dy_j, lat_j, _ = run(colors=0)
+    assert lat_j > 4 * lat_c + 0.1, (lat_j, lat_c)
+
+
+def test_colored_solver_matches_jacobi_rest_state():
+    """Both solver options project to the same contact fixed point: a box
+    resting on the ground lands identically (colored path smoke)."""
+    b0 = make_ground_scene(jnp.asarray([[0.2, 0.8, -0.1]]))
+
+    def run(colors):
+        p = ph.SolverParams(max_pairs=16, iterations=6, colors=colors)
+        out = jax.jit(run_steps, static_argnums=2)(b0, p, 240)
+        return np.asarray(out.pos[1]), np.asarray(out.vel[1])
+
+    pos_c, vel_c = run(3)
+    pos_j, vel_j = run(0)
+    np.testing.assert_allclose(pos_c, pos_j, atol=2e-2)
+    assert np.abs(vel_c).max() < 0.05 and np.abs(vel_j).max() < 0.05
+    # rests on the ground plane (top of slab -0.5 + half extent 0.5)
+    assert abs(pos_c[1] - 0.0) < 0.05
