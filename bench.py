@@ -150,6 +150,7 @@ def _secondaries() -> list:
     for script in (
         "benchmarks/bench_city_720p.py",
         "benchmarks/bench_rlenv.py",
+        "benchmarks/bench_rlenv_glb.py",
         "benchmarks/bench_spatial_render.py",
         "benchmarks/bench_bigscene.py",
     ):

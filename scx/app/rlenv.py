@@ -53,16 +53,40 @@ class CityRLEnv:
         # at 1024 envs against tile_h=16; same sweep direction as the 720p
         # tile win — fewer per-tile fixed costs beat a tighter lattice)
         obs_tile_h: int = 64,
+        # obs raster path: None = auto (cluster kernel for big scenes —
+        # binning scales with T/32 meshlets instead of triangles; the
+        # triangle path measured faster for the tiny 160-cube scene)
+        use_cluster_obs: bool | None = None,
+        # world art: list of (verts [V,8], tris [T,3]) pool meshes (e.g.
+        # GLB imports via scx.assets.gltf); defaults to the builtins.
+        # prop_mesh_ids cycles these pool slots across the procedural props.
+        meshes: list | None = None,
+        prop_mesh_ids: list | None = None,
+        draw_budget: int | None = None,
+        # triangle-column budget override: the default formula (budget x
+        # worst pool mesh) is the safe bound but wasteful for mixed
+        # content — trailing draws past the budget drop, counted by the
+        # reference's maxDraws semantics (expand_draws)
+        max_tris: int | None = None,
     ):
         self.n_envs = n_envs
         self.capacity = capacity
         cfg = EngineConfig()
         self.cfg = cfg
-        # right-size the triangle columns to the scene: capacity entities x
-        # 12 cube tris (+20% clip headroom, /1024 granularity). Setup/bin
-        # work scales with the column length, and at fleet sizes the unused
-        # tail of a generous cap is the single largest render-prep cost.
-        t_need = int(capacity * 12 * 1.2)
+        self.pool = build_mesh_pool(meshes)
+        self._prop_mesh_ids = prop_mesh_ids
+        self.draw_budget = draw_budget if draw_budget is not None else capacity
+        # right-size the triangle columns to the scene: draw budget x the
+        # worst-case pool mesh (+20% clip headroom, /1024 granularity).
+        # Setup/bin work scales with the column length, and at fleet sizes
+        # the unused tail of a generous cap is the single largest
+        # render-prep cost.
+        tris_per_draw = int(np.asarray(self.pool.mesh_tri_count).max())
+        t_need = (
+            max_tris
+            if max_tris is not None
+            else int(self.draw_budget * tris_per_draw * 1.2)
+        )
         self.raster = RasterParams(
             width=obs_size,
             height=obs_size,
@@ -70,13 +94,18 @@ class CityRLEnv:
             tile_w=128,
             max_tris=max(1024, -(-t_need // 1024) * 1024),
             max_tris_per_tile=128,
+            use_clusters=(
+                use_cluster_obs
+                if use_cluster_obs is not None
+                else capacity > 256
+            ),
+            max_clusters_per_tile=128,
             interpret=(
                 interpret
                 if interpret is not None
                 else jax.default_backend() == "cpu"
             ),
         )
-        self.pool = build_mesh_pool()
         # warm-started 6-iteration solve == cold-8 quality (tower test in
         # test_physics_solver.py; same setting as the sandbox and bench.py)
         self.sim = SimParams(
@@ -161,7 +190,11 @@ class CityRLEnv:
         cols["rot"][:k, 0] = np.cos(yaw_arr * 0.5)
         cols["rot"][:k, 2] = np.sin(yaw_arr * 0.5)
         cols["scale"][:k] = scale_arr
-        cols["mesh"][:k] = 0
+        if self._prop_mesh_ids is not None:
+            ids = np.asarray(self._prop_mesh_ids, np.int32)
+            cols["mesh"][:k] = ids[(np.arange(k) + env_idx) % len(ids)]
+        else:
+            cols["mesh"][:k] = 0
         cols["mat"][:k] = 0
         cols["body_type"][:k] = ent.BODY_STATIC
         cols["half"][:k] = scale_arr * 0.5
@@ -258,10 +291,9 @@ class CityRLEnv:
             params=CameraParams(fov_y_deg=70.0),
         )
         visible, mats = cull_entities(state, vp)
-        # every entity can be on screen: the draw budget is the capacity
-        # (max_tris was right-sized for 12 tris x capacity, so no headroom
-        # is wasted by drawing them all)
-        draws = emit_draws(state, visible, mats, self.capacity)
+        # max_tris was right-sized for the draw budget x worst pool mesh,
+        # so no headroom is wasted (budget defaults to the capacity)
+        draws = emit_draws(state, visible, mats, self.draw_budget)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
     def _step_impl(self, batch, cache, actions):
@@ -297,9 +329,12 @@ class CityRLEnv:
         }
         setup, aabb, valid = jax.vmap(self._render_one)(batch)
         # binning OUTSIDE the vmap: its rank-recovery scatter lowers ~50x
-        # slower as a batched scatter than as one folded 2D scatter
-        binned, counts = bin_triangles_batched(setup, aabb, valid, self.raster)
-        g = rasterize_tiles_batched(binned, counts, self.raster)
+        # slower as a batched scatter than as one folded 2D scatter.
+        # raster_gbuffer_batched dispatches cluster vs triangle binning
+        # on raster.use_clusters (cluster kernel for big GLB scenes).
+        from scx.render.pipeline import raster_gbuffer_batched
+
+        g, _rstats = raster_gbuffer_batched(setup, aabb, valid, self.raster)
         obs = jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
         # reward: forward progress of the player (m per step)
         fwd_speed = jax.vmap(

@@ -122,24 +122,14 @@ def bin_clusters(cl_aabb, cl_valid, params, max_clusters_per_tile: int,
     return ids.astype(jnp.int32), counts
 
 
-def _kernel(
-    cl_ids_ref,      # scalar prefetch [n_tiles, KC]
-    cl_counts_ref,   # scalar prefetch [n_tiles]
-    cl_zmin_ref,     # scalar prefetch [C] f32: per-cluster min depth
-    setup_hbm,       # [C, 64, F] in ANY/HBM
-    depth_ref,       # out tile block [th, tw]
-    attr_ref,        # out tile block [N_ATTR, th, tw]
-    buf,             # scratch [KC, 64, F] VMEM
-    sems,            # DMA semaphores [KC]
-    *,
-    params,
-    kc_max,
+def _tile_body(
+    cnt, id_at, zmin_at, src_at, depth_ref, attr_ref, buf, sems, ty, tx, params
 ):
+    """Shared per-tile raster body: `id_at(kc)` -> cluster id for DMA,
+    `zmin_at(kc)` -> that slot's cluster min depth (hierarchical-z skip),
+    `src_at(cid)` -> the HBM block to DMA. Single-scene and env-batched
+    kernels differ only in these accessors and the grid."""
     th, tw = params.tile_h, params.tile_w
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    tile = ty * pl.num_programs(1) + tx
-    cnt = cl_counts_ref[tile]
 
     depth_ref[:] = jnp.ones((th, tw), jnp.float32)
     attr_ref[:] = jnp.zeros((N_ATTR, th, tw), jnp.float32)
@@ -154,8 +144,7 @@ def _kernel(
     )
 
     def dma(kc):
-        cid = cl_ids_ref[tile, kc]
-        return pltpu.make_async_copy(setup_hbm.at[cid], buf.at[kc], sems.at[kc])
+        return pltpu.make_async_copy(src_at(id_at(kc)), buf.at[kc], sems.at[kc])
 
     # pipelined DMA: 2 in flight; pass A starts kc+2 before using kc
     def start_if(kc):
@@ -182,9 +171,8 @@ def _kernel(
 
                 dma(kc).wait()
                 tile_zmax = jnp.max(depth_ref[:])
-                cid = cl_ids_ref[tile, kc]
 
-                @pl.when(cl_zmin_ref[cid] < tile_zmax)
+                @pl.when(zmin_at(kc) < tile_zmax)
                 def _():
                     _pass_a_cluster(kc)
 
@@ -276,6 +264,67 @@ def _kernel(
     pl.run_scoped(run_scoped_body, pltpu.VMEM((th, tw), jnp.int32))
 
 
+def _kernel(
+    cl_ids_ref,      # scalar prefetch [n_tiles, KC]
+    cl_counts_ref,   # scalar prefetch [n_tiles]
+    cl_zmin_ref,     # scalar prefetch [C] f32: per-cluster min depth
+    setup_hbm,       # [C, CLUSTER, 128] in ANY/HBM
+    depth_ref,       # out tile block [th, tw]
+    attr_ref,        # out tile block [N_ATTR, th, tw]
+    buf,             # scratch [KC, CLUSTER, 128] VMEM
+    sems,            # DMA semaphores [KC]
+    *,
+    params,
+    kc_max,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * pl.num_programs(1) + tx
+    _tile_body(
+        cl_counts_ref[tile],
+        lambda kc: cl_ids_ref[tile, kc],
+        lambda kc: cl_zmin_ref[cl_ids_ref[tile, kc]],
+        lambda cid: setup_hbm.at[cid],
+        depth_ref, attr_ref, buf, sems, ty, tx, params,
+    )
+
+
+# quantization scale for the per-slot cluster zmin packed into the high
+# bits of the batched kernel's SMEM word (15 bits; floor-quantized so the
+# hierarchical-z skip stays conservative)
+_ZQ = 32767.0
+
+
+def _kernel_batched(
+    words_ref,       # scalar prefetch [E*n_tiles*KC] i32: cid | zq<<16
+    cl_counts_ref,   # scalar prefetch [E*n_tiles]
+    setup_hbm,       # [E, C, CLUSTER, 128] in ANY/HBM
+    depth_ref,       # out tile block [th, tw] (outputs laid out [E*h, w])
+    attr_ref,        # out tile block [N_ATTR, th, tw]
+    buf,
+    sems,
+    *,
+    params,
+    kc_max,
+    n_tiles,
+):
+    env = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    flat = (env * n_tiles + ty * pl.num_programs(2) + tx) * kc_max
+
+    def word(kc):
+        return words_ref[flat + kc]
+
+    _tile_body(
+        cl_counts_ref[env * n_tiles + ty * pl.num_programs(2) + tx],
+        lambda kc: word(kc) & 0xFFFF,
+        lambda kc: (word(kc) >> 16).astype(jnp.float32) * (1.0 / _ZQ),
+        lambda cid: setup_hbm.at[env, cid],
+        depth_ref, attr_ref, buf, sems, ty, tx, params,
+    )
+
+
 def rasterize_clusters(
     setup, cl_ids, cl_counts, params, max_clusters_per_tile: int, cl_zmin=None
 ):
@@ -334,5 +383,126 @@ def rasterize_clusters(
         "color": jnp.moveaxis(attrs[0:3], 0, -1),
         "uv": jnp.moveaxis(attrs[3:5], 0, -1),
         "mat": attrs[5].astype(jnp.int32),
+        "covered": depth < 1.0,
+    }
+
+
+def rasterize_clusters_batched(
+    setup, cl_ids, cl_counts, params, max_clusters_per_tile: int,
+    cl_zmin=None, smem_budget: int = 1 << 19,
+):
+    """Env-batched cluster rasterizer: setup [E,T,F], cl_ids [E,n_tiles,KC],
+    cl_counts [E,n_tiles], cl_zmin [E,C] -> G-buffer dict with a leading
+    env dim.  Grid = (E, tiles_y, tiles_x); each program DMAs its tile's
+    listed cluster blocks from the env's setup slab.
+
+    SMEM discipline (CLAUDE.md round-2 lesson: 2D scalar-prefetch operands
+    pad to 128 lanes, and big fleets blow the ~1 MiB SMEM budget): the
+    per-slot (cluster id, quantized zmin) pair is packed into ONE flat i32
+    word array, and the fleet is processed in env chunks small enough for
+    the words to fit `smem_budget`.
+    """
+    e = setup.shape[0]
+    nty, ntx = params.tiles_y, params.tiles_x
+    th, tw = params.tile_h, params.tile_w
+    h_pad, w_pad = nty * th, ntx * tw
+    n_tiles = nty * ntx
+    c = params.max_tris // CLUSTER
+    kc = max_clusters_per_tile
+
+    # per-slot zmin (floor-quantized 15 bits, conservative for the hz skip)
+    if cl_zmin is None:
+        zq = jnp.zeros(cl_ids.shape, jnp.int32)
+    else:
+        slot_z = jnp.take_along_axis(
+            cl_zmin[:, None, :].repeat(n_tiles, 1), cl_ids, axis=2
+        )
+        zq = jnp.floor(jnp.clip(slot_z, 0.0, 1.0) * _ZQ).astype(jnp.int32)
+    words = cl_ids.astype(jnp.int32) | (zq << 16)
+    counts = jnp.minimum(cl_counts, kc).astype(jnp.int32)
+
+    # env chunking: (a) words + counts must fit the ~1 MiB SMEM budget,
+    # (b) the 128-lane-padded DMA slab (built per chunk below — the pad is
+    # 128/N_FIELDS ~ 4x, never materialized fleet-wide) stays ~<=1.5 GiB
+    bytes_per_env = n_tiles * (kc + 1) * 4
+    slab_bytes_per_env = c * CLUSTER * 128 * 4
+    chunk = max(
+        1,
+        min(
+            e,
+            smem_budget // max(bytes_per_env, 1),
+            (3 * (1 << 29)) // max(slab_bytes_per_env, 1),
+        ),
+    )
+    while e % chunk:
+        chunk -= 1
+
+    kernel = functools.partial(
+        _kernel_batched, params=params, kc_max=kc, n_tiles=n_tiles
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk, nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            # outputs laid out [chunk*h_pad, w_pad] so the tile body writes
+            # plain (th, tw) blocks (identical math to the single-scene path)
+            pl.BlockSpec(
+                (th, tw), lambda env, ty, tx, *_: (env * nty + ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (N_ATTR, th, tw),
+                lambda env, ty, tx, *_: (0, env * nty + ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kc, CLUSTER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((kc,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((chunk * h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((N_ATTR, chunk * h_pad, w_pad), jnp.float32),
+        ],
+        interpret=params.interpret,
+    )
+
+    def one_chunk(args):
+        w, cn, setup_c = args
+        pad_c = jnp.pad(setup_c, ((0, 0), (0, 0), (0, 128 - pipe.N_FIELDS)))
+        blocks = pad_c.reshape(chunk, c, CLUSTER, 128)
+        d, a = call(w.reshape(-1), cn.reshape(-1), blocks)
+        return d.reshape(chunk, h_pad, w_pad), a.reshape(
+            N_ATTR, chunk, h_pad, w_pad
+        ).swapaxes(0, 1)
+
+    if chunk == e:
+        depth, attrs = one_chunk((words, counts, setup))
+    else:
+        g = e // chunk
+        depth, attrs = jax.lax.map(
+            one_chunk,
+            (
+                words.reshape(g, chunk, n_tiles, kc),
+                counts.reshape(g, chunk, n_tiles),
+                setup.reshape(g, chunk, setup.shape[1], setup.shape[2]),
+            ),
+        )
+        depth = depth.reshape(e, h_pad, w_pad)
+        attrs = attrs.reshape(e, N_ATTR, h_pad, w_pad)
+
+    h, w = params.height, params.width
+    depth = depth[:, :h, :w]
+    attrs = attrs[:, :, :h, :w]
+    return {
+        "depth": depth,
+        "color": jnp.moveaxis(attrs[:, 0:3], 1, -1),
+        "uv": jnp.moveaxis(attrs[:, 3:5], 1, -1),
+        "mat": attrs[:, 5].astype(jnp.int32),
         "covered": depth < 1.0,
     }

@@ -69,19 +69,36 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
     if _TOPK_MIN <= n * n <= _TOPK_LIMIT:
-        # compaction by top_k: score = n*n - flat for valid pairs, so the
-        # max_pairs largest scores ARE the first valid pairs in flat order.
-        # Under a vmapped env batch this is ~17% of the whole sim step
-        # faster than the scatter below (XLA lowers batched row scatters
-        # poorly — same pathology as the solver, solver.py one-hot note).
-        score = jnp.where(valid, n * n - flat, 0)
-        k = min(max_pairs, n * n)  # tiny scenes: k may exceed N^2
-        vals, _ = jax.lax.top_k(score, k)
-        if k < max_pairs:
-            vals = jnp.concatenate(
-                [vals, jnp.zeros((max_pairs - k,), vals.dtype)]
-            )
-        kflat = jnp.where(vals > 0, n * n - vals, 0)
+        # sort-free compaction by BLOCK-RANK RECOVERY: the k-th valid flat
+        # index is found by (a) lane-wise cumsum within 128-lane blocks,
+        # (b) a tiny [cap, B] compare-sum locating k's block from the
+        # exclusive block bases, (c) one packed row gather + argmax for the
+        # lane. Replaces a top_k whose full [N^2] sort was the single
+        # biggest op of the RL physics step (26 ms/step at 1024 envs);
+        # exact same output order (ascending flat), no sort, no scatter.
+        w = 128
+        m = n * n
+        pad = (-m) % w
+        v = valid.astype(jnp.int32)
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.int32)])
+        b = v.shape[0] // w
+        v = v.reshape(b, w)
+        lane_cum = jnp.cumsum(v, axis=1)                    # [B, W]
+        blk = lane_cum[:, -1]                               # [B]
+        base = jnp.cumsum(blk) - blk                        # exclusive [B]
+        ks = jnp.arange(max_pairs, dtype=jnp.int32)
+        b_k = (
+            jnp.sum((base[None, :] <= ks[:, None]).astype(jnp.int32), axis=1)
+            - 1
+        )
+        b_k = jnp.clip(b_k, 0, b - 1)
+        lr = ks - base[b_k]                                 # rank in block
+        packed = jnp.concatenate([lane_cum, v], axis=1)     # ONE row gather
+        rows = packed[b_k]                                  # [cap, 2W]
+        hit = (rows[:, :w] == (lr + 1)[:, None]) & (rows[:, w:] > 0)
+        lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        kflat = jnp.where(ks < n_valid, b_k * w + lane, 0)
     else:
         # huge single scenes: one rank scatter beats top_k over N^2 lanes.
         # the k-th valid pair writes its flat index into slot k (ranks are

@@ -29,6 +29,11 @@ class MeshPool:
     mesh_tri_count: jax.Array  # [M] i32
     mesh_bounds_min: jax.Array # [M,3]
     mesh_bounds_max: jax.Array # [M,3]
+    # per-TRIANGLE packed vertex rows [T, 24] (3 verts x 8 fields): the
+    # frame setup gathers ONE row per triangle instead of tris + 3 vertex
+    # rows (TPU gathers move rows — 5 -> 2 gathers per expanded triangle,
+    # the single largest render-prep cost at RL fleet sizes)
+    tri_vert_rows: jax.Array   # [T, 24] f32
 
     @property
     def num_meshes(self) -> int:
@@ -101,13 +106,18 @@ def build_mesh_pool(meshes=None) -> MeshPool:
         bmax.append(verts[:, 0:3].max(axis=0))
         v_off += len(verts)
         t_off += len(tris)
+    verts_np = np.concatenate(all_v, axis=0)
+    tris_np = np.concatenate(all_t, axis=0)
     pool = MeshPool(
-        verts=jnp.asarray(np.concatenate(all_v, axis=0)),
-        tris=jnp.asarray(np.concatenate(all_t, axis=0)),
+        verts=jnp.asarray(verts_np),
+        tris=jnp.asarray(tris_np),
         mesh_first_tri=jnp.asarray(first, jnp.int32),
         mesh_tri_count=jnp.asarray(count, jnp.int32),
         mesh_bounds_min=jnp.asarray(np.stack(bmin)),
         mesh_bounds_max=jnp.asarray(np.stack(bmax)),
+        tri_vert_rows=jnp.asarray(
+            verts_np[tris_np].reshape(len(tris_np), 24)
+        ),
     )
     from scx.core import memtrack
 

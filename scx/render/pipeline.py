@@ -291,14 +291,15 @@ def setup_triangles(
     def grow(col, fill=0.0):
         return jnp.concatenate([col, jnp.full((pad,), fill, col.dtype)])
 
-    # per-vertex pool indices and vertex field columns.  Gathers are the
-    # cost here (TPU gathers move ROWS — one sublane per gathered index —
-    # so k same-index element-gathers cost k row-gathers): fetch whole rows
-    # once and slice the columns statically, 5 row-gathers instead of 43.
-    tri_rows = pool.tris[tri_pool]                       # [T,3]
-    vidx = [tri_rows[:, v] for v in range(3)]
-    vrows = [pool.verts[vidx[v]] for v in range(3)]      # 3x [T,8]
-    vcol = [[vrows[v][:, f] for f in range(8)] for v in range(3)]
+    # per-vertex field columns.  Gathers are the cost here (TPU gathers
+    # move ROWS — one sublane per gathered index — so k same-index element
+    # gathers cost k row-gathers): the pool pre-packs each triangle's
+    # three vertex rows into ONE 24-wide row (MeshPool.tri_vert_rows), so
+    # geometry expansion is a single [T]-row gather — 2 gathers per
+    # triangle total (this + the mvp row) vs the 43 element-gathers the
+    # naive form costs.
+    trows = pool.tri_vert_rows[tri_pool]                 # [T,24]
+    vcol = [[trows[:, v * 8 + f] for f in range(8)] for v in range(3)]
 
     # mvp per draw (tiny), gathered per tri as one 16-wide row
     mvp = jnp.einsum(
@@ -728,6 +729,51 @@ def render_frame_rows(
     setup, aabb, valid = setup_triangles(draws, pool, view_proj, params)
     setup, aabb, valid = shift_setup_rows(setup, aabb, valid, row0, strip_rows)
     return _raster_and_shade(setup, aabb, valid, strip, materials, textures)
+
+
+def raster_gbuffer_batched(setup, aabb, valid, params):
+    """Env-batched bin + rasterize -> (gbuffer, stats); setup [E, T, F].
+
+    Cluster path (params.use_clusters): vmapped meshlet bounds/compaction/
+    binning feed the env-batched DMA kernel (rasterize_clusters_batched) —
+    binning cost scales with clusters (T/32) instead of triangles, which is
+    what lets RL observations carry real GLB scenes (VERDICT r2 item 3).
+    Triangle path otherwise (tiny scenes / kernels without DMA)."""
+    from scx.ops import raster as raster_ops
+    from scx.ops import raster_clusters as rc
+
+    if params.use_clusters:
+        kc = params.max_clusters_per_tile
+
+        def prep(setup_e, aabb_e, valid_e):
+            cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
+                aabb_e, valid_e, params.max_tris, setup_e
+            )
+            c_aabb, c_valid, c_zmin, order, dropped = rc.compact_clusters(
+                cl_aabb, cl_valid, cl_zmin
+            )
+            zsort = c_zmin if params.sort_draws else None
+            ids, counts = rc.bin_clusters(c_aabb, c_valid, params, kc, cl_zmin=zsort)
+            return order[ids], counts, cl_zmin, dropped
+
+        cl_ids, cl_counts, cl_zmin, dropped = jax.vmap(prep)(setup, aabb, valid)
+        gbuffer = rc.rasterize_clusters_batched(
+            setup, cl_ids, cl_counts, params, kc, cl_zmin=cl_zmin
+        )
+        occupancy, cap = cl_counts, kc
+        cluster_drop = jnp.sum(dropped)
+    else:
+        binned, counts = bin_triangles_batched(setup, aabb, valid, params)
+        gbuffer = raster_ops.rasterize_tiles_batched(binned, counts, params)
+        occupancy, cap = counts, params.max_tris_per_tile
+        cluster_drop = jnp.int32(0)
+    stats = {
+        "tris_in": jnp.sum(valid.astype(jnp.int32)),
+        "max_tile_occupancy": jnp.max(occupancy),
+        "tile_overflow": jnp.sum((occupancy >= cap).astype(jnp.int32)),
+        "cluster_drop": cluster_drop,
+    }
+    return gbuffer, stats
 
 
 def _raster_and_shade(setup, aabb, valid, params, materials, textures):
