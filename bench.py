@@ -151,8 +151,8 @@ def _secondaries() -> list:
         "benchmarks/bench_city_720p.py",
         "benchmarks/bench_rlenv.py",
         "benchmarks/bench_rlenv_glb.py",
-        "benchmarks/bench_spatial_render.py",
         "benchmarks/bench_bigscene.py",
+        "benchmarks/bench_spatial_render.py",
     ):
         remaining = deadline - time.monotonic()
         if remaining <= 30.0:

@@ -46,11 +46,14 @@ def main():
         capacity=capacity,
         obs_size=obs,
         n_traffic=12,
-        use_cluster_obs=True,
+        use_cluster_obs=os.environ.get("CLUSTER", "0") == "1",
         meshes=meshes,
         prop_mesh_ids=slots,
         draw_budget=int(os.environ.get("DRAWS", "256")),
         max_tris=int(os.environ.get("MAXTRIS", "12288")),
+        # 16-row tiles: an 8-tile lattice keeps per-tile cluster lists
+        # tight (64-row tiles = 2 giant tiles = no binning at all)
+        obs_tile_h=int(os.environ.get("OBS_TILE", "16")),
     )
     print(
         f"built {envs} envs (cap {capacity}, {len(slots)} GLB buildings, "
@@ -63,15 +66,21 @@ def main():
         np.asarray([0.6, 0.0, 0.1, 0.0], np.float32), (envs, 1)
     )
 
-    # compile + warm through the adaptive chunker (also calibrates it)
-    t0 = time.time()
-    means, rews = env.rollout(actions, length=2)
-    print(f"compile+first rollout: {time.time()-t0:.1f}s", flush=True)
-
+    # compile + warm with the SAME length as the measurement: a different
+    # scan length is a different program, and a remote compile landing
+    # inside the measured call once inflated 260 ms/step to 7 s/step
     t0 = time.time()
     means, rews = env.rollout(actions, length=length)
     jax.block_until_ready(rews)
-    dt = time.time() - t0
+    print(f"compile+first rollout: {time.time()-t0:.1f}s", flush=True)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        means, rews = env.rollout(actions, length=length)
+        jax.block_until_ready(rews)
+        best = min(best, time.time() - t0)
+    dt = best
     rate = envs * length / dt
     print(
         f"{length} steps x {envs} envs in {dt:.2f}s -> {rate:.1f} env-steps/s",

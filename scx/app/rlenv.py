@@ -53,9 +53,12 @@ class CityRLEnv:
         # at 1024 envs against tile_h=16; same sweep direction as the 720p
         # tile win — fewer per-tile fixed costs beat a tighter lattice)
         obs_tile_h: int = 64,
-        # obs raster path: None = auto (cluster kernel for big scenes —
-        # binning scales with T/32 meshlets instead of triangles; the
-        # triangle path measured faster for the tiny 160-cube scene)
+        # obs raster path: the triangle binner measured 3x faster than the
+        # batched cluster kernel at obs scale even for 512-capacity GLB
+        # scenes (48.9 vs 146 ms/256-env step at 128x128, tile_h=16 —
+        # per-tile triangle lists are tight when the lattice is 8 tiles);
+        # the cluster kernel wins on LARGE framebuffers (720p+), keep it
+        # as the opt-in for batched big-frame rendering
         use_cluster_obs: bool | None = None,
         # world art: list of (verts [V,8], tris [T,3]) pool meshes (e.g.
         # GLB imports via scx.assets.gltf); defaults to the builtins.
@@ -95,9 +98,7 @@ class CityRLEnv:
             max_tris=max(1024, -(-t_need // 1024) * 1024),
             max_tris_per_tile=128,
             use_clusters=(
-                use_cluster_obs
-                if use_cluster_obs is not None
-                else capacity > 256
+                use_cluster_obs if use_cluster_obs is not None else False
             ),
             max_clusters_per_tile=128,
             interpret=(
@@ -220,8 +221,17 @@ class CityRLEnv:
         return cols
 
     def _build_batch(self):
-        """Stack env columns in numpy, upload once, apply to a template."""
-        per_env = [self._build_env_np(i) for i in range(self.n_envs)]
+        """Stack env columns in numpy, upload once, apply to a template.
+
+        Per-env bakes are independent host work — parallel-for on the job
+        system (a serial build of 1024 x 512-capacity envs costs minutes,
+        over the driver's bench budget)."""
+        from scx.core.jobs import jobs
+
+        per_env: list = [None] * self.n_envs
+        def bake(i):
+            per_env[i] = self._build_env_np(i)
+        jobs().dispatch(self.n_envs, 8, bake)
         stacked = {
             key: jnp.asarray(np.stack([c[key] for c in per_env]))
             for key in per_env[0]
