@@ -28,8 +28,7 @@ from scx.core.config import EngineConfig, WorldPartitionConfig
 from scx.render import RasterParams
 from scx.render.camera import CameraParams, camera_view_proj_from_pose
 from scx.render.mesh import build_mesh_pool
-from scx.render.pipeline import bin_triangles_batched, setup_triangles
-from scx.ops.raster import rasterize_tiles_batched
+from scx.render.pipeline import setup_triangles
 from scx.state import entity as ent
 from scx.traffic.lanes import LaneGraphBuilder
 from scx.world import procgen
@@ -71,6 +70,10 @@ class CityRLEnv:
         # content — trailing draws past the budget drop, counted by the
         # reference's maxDraws semantics (expand_draws)
         max_tris: int | None = None,
+        # near-clip quad reserve: obs cameras cross the near plane with a
+        # handful of ground/nearby tris; the full 2048 default costs two
+        # [E, extra]-row recovery gathers per step at fleet sizes
+        obs_clip_extra: int = 512,
     ):
         self.n_envs = n_envs
         self.capacity = capacity
@@ -101,6 +104,7 @@ class CityRLEnv:
                 use_cluster_obs if use_cluster_obs is not None else False
             ),
             max_clusters_per_tile=128,
+            clip_extra=obs_clip_extra,
             interpret=(
                 interpret
                 if interpret is not None

@@ -286,27 +286,51 @@ def setup_triangles(
     pad = params.effective_clip_extra
     usable = params.max_tris - pad
     t = params.max_tris
-    draw_idx, tri_pool, live = expand_draws(draws, pool, usable)
+    d = draws.valid.shape[0]
 
     def grow(col, fill=0.0):
         return jnp.concatenate([col, jnp.full((pad,), fill, col.dtype)])
 
-    # per-vertex field columns.  Gathers are the cost here (TPU gathers
-    # move ROWS — one sublane per gathered index — so k same-index element
-    # gathers cost k row-gathers): the pool pre-packs each triangle's
-    # three vertex rows into ONE 24-wide row (MeshPool.tri_vert_rows), so
-    # geometry expansion is a single [T]-row gather — 2 gathers per
-    # triangle total (this + the mvp row) vs the 43 element-gathers the
-    # naive form costs.
-    trows = pool.tri_vert_rows[tri_pool]                 # [T,24]
-    vcol = [[trows[:, v * 8 + f] for f in range(8)] for v in range(3)]
+    # Gathers are the cost here (TPU gathers move ROWS — one sublane per
+    # gathered index), so EVERY per-draw quantity a triangle needs packs
+    # into ONE [D, 19] row (start, first_tri, material, mvp x16) gathered
+    # once per triangle, and the pool pre-packs each triangle's three
+    # vertex rows into ONE 24-wide row (MeshPool.tri_vert_rows): geometry
+    # expansion is exactly TWO row gathers per triangle.  (The unpacked
+    # form — per_draw, mvp rows and material ids gathered separately —
+    # was 3 of the 5 hottest ops of the RL fleet step at 1024 envs.)
+    # Integer columns ride the f32 row exactly (values < 2^24).
+    tri_counts = jnp.where(
+        draws.valid, pool.mesh_tri_count[draws.mesh_id], 0
+    )
+    cum = jnp.cumsum(tri_counts)
+    total = cum[-1]
+    starts = cum - tri_counts
+    e_idx = jnp.arange(usable, dtype=jnp.int32)
+    # draw boundaries by scatter+cumsum (searchsorted is gather-bound)
+    marks = jnp.zeros(usable, jnp.int32).at[starts].add(1, mode="drop")
+    draw_idx = jnp.clip(jnp.cumsum(marks) - 1, 0, d - 1)
 
-    # mvp per draw (tiny), gathered per tri as one 16-wide row
     mvp = jnp.einsum(
         "ij,djk->dik", view_proj, draws.model, precision=m3.PRECISION
     )
-    mrows = mvp.reshape(-1, 16)[draw_idx]                # [T,16]
-    mcol = [[mrows[:, i * 4 + j] for j in range(4)] for i in range(4)]
+    per_draw = jnp.concatenate(
+        [
+            starts.astype(jnp.float32)[:, None],
+            pool.mesh_first_tri[draws.mesh_id].astype(jnp.float32)[:, None],
+            draws.material_id.astype(jnp.float32)[:, None],
+            mvp.reshape(d, 16),
+        ],
+        axis=-1,
+    )
+    drows = per_draw[draw_idx]                           # [T,19] gather 1
+    local = e_idx - drows[:, 0].astype(jnp.int32)
+    tri_pool = drows[:, 1].astype(jnp.int32) + local
+    live = e_idx < total
+
+    trows = pool.tri_vert_rows[tri_pool]                 # [T,24] gather 2
+    vcol = [[trows[:, v * 8 + f] for f in range(8)] for v in range(3)]
+    mcol = [[drows[:, 3 + i * 4 + j] for j in range(4)] for i in range(4)]
 
     def clip_coord(i, v):
         p = vcol[v]
@@ -320,9 +344,7 @@ def setup_triangles(
     cw = [grow(clip_coord(3, v), fill=-1.0) for v in range(3)]
     attrs = [[grow(vcol[v][f]) for f in range(3, 8)] for v in range(3)]
     live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
-    mat_ids = jnp.concatenate(
-        [draws.material_id[draw_idx], jnp.zeros((pad,), draws.material_id.dtype)]
-    )
+    mat_ids = grow(drows[:, 2]).astype(draws.material_id.dtype)
 
     # clip at (just inside) the real near plane so clipped vertices have
     # w ~ near_z and bounded screen coordinates (f32 edge functions lose the
@@ -514,22 +536,40 @@ def bin_triangles_batched(setup, aabb, valid, params: RasterParams):
     rank = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)
     counts = rank[..., -1]
 
-    flat_overlap = overlap.reshape(e * n_tiles, t)
-    flat_rank = rank.reshape(e * n_tiles, t)
-    pos = jnp.where(flat_overlap, flat_rank - 1, k)
-    pos = jnp.minimum(pos, k)
-    row_ids = jnp.broadcast_to(
-        jnp.arange(e * n_tiles, dtype=jnp.int32)[:, None], (e * n_tiles, t)
+    # index recovery by BLOCK-RANK: the k-th triangle of a tile is located
+    # by (a) a [K, B] compare-sum over the per-128-lane-block exclusive
+    # rank bases, then (b) ONE gathered 128-lane block word row + argmax.
+    # The previous fleet-folded 2D scatter was the single hottest op of
+    # the RL step at 1024 envs (464 ms); the gather here moves K rows per
+    # tile instead of scattering T elements. Same output, exact.
+    r = e * n_tiles
+    w = 128
+    pad_t = (-t) % w
+    word = (rank << 1) | overlap.astype(jnp.int32)       # rank + hit bit
+    word = word.reshape(r, t)
+    if pad_t:
+        word = jnp.pad(word, ((0, 0), (0, pad_t)))
+    b = (t + pad_t) // w
+    word = word.reshape(r, b, w)
+    base = word[:, :, -1] >> 1                            # inclusive end
+    base = jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), base[:, :-1]], axis=1
+    )                                                     # exclusive [r, B]
+    ks = jnp.arange(k, dtype=jnp.int32)
+    b_k = (
+        jnp.sum((base[:, None, :] <= ks[None, :, None]).astype(jnp.int32), axis=2)
+        - 1
     )
-    tri_cols = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[None, :], (e * n_tiles, t)
-    )
-    tri_ids = (
-        jnp.zeros((e * n_tiles, k + 1), jnp.int32)
-        .at[row_ids, pos]
-        .set(tri_cols, mode="drop")[:, :k]
-        .reshape(e, n_tiles, k)
-    )
+    b_k = jnp.clip(b_k, 0, b - 1)                         # [r, K]
+    rows = jnp.take_along_axis(word, b_k[:, :, None], axis=1)  # [r, K, W]
+    hit = ((rows >> 1) == (ks + 1)[None, :, None]) & ((rows & 1) > 0)
+    lane = jnp.argmax(hit, axis=2).astype(jnp.int32)
+    flat_counts = counts.reshape(r)
+    tri_ids = jnp.where(
+        ks[None, :] < jnp.minimum(flat_counts, k)[:, None],
+        b_k * w + lane,
+        0,
+    ).reshape(e, n_tiles, k)
     slot = jnp.arange(k, dtype=jnp.int32)
     in_range = slot[None, None, :] < counts[:, :, None]
 
