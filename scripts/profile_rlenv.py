@@ -31,6 +31,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--capacity", type=int, default=160)
+    ap.add_argument("--traffic", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the physics scan")
@@ -48,7 +50,7 @@ def main():
     E = args.envs
     N = args.iters
     t0 = time.time()
-    env = CityRLEnv(n_envs=E, capacity=160, obs_size=128, n_traffic=8)
+    env = CityRLEnv(n_envs=E, capacity=args.capacity, obs_size=128, n_traffic=args.traffic)
     print(f"built {E} envs in {time.time()-t0:.1f}s", flush=True)
     batch, cache = env.state, env.cache
     solver, vparams = env.sim.solver, env.sim.vehicle

@@ -77,7 +77,14 @@ class CityRLEnv:
     ):
         self.n_envs = n_envs
         self.capacity = capacity
-        cfg = EngineConfig()
+        from scx.core.config import TrafficConfig
+
+        # tight agent cap: traffic_ai_update compacts its control laws to
+        # [cap+8] agent rows instead of every capacity lane (the full-lane
+        # AI stage was 178 ms/step at 512 capacity x 1024 envs)
+        cfg = EngineConfig(
+            traffic=TrafficConfig(max_vehicles_total=max(24, n_traffic + 4))
+        )
         self.cfg = cfg
         self.pool = build_mesh_pool(meshes)
         self._prop_mesh_ids = prop_mesh_ids

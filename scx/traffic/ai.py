@@ -59,21 +59,54 @@ def traffic_ai_update(
     dt,
 ) -> EntityState:
     tr = state.traffic
-    pos = state.transform.pos
     n = state.capacity
-    is_agent = state.alive & (tr.mode >= 0)
-    is_a = is_agent & (tr.mode == TRAFFIC_PHYSICS)
-    is_bc = is_agent & (tr.mode != TRAFFIC_PHYSICS)
+    is_agent_col = state.alive & (tr.mode >= 0)
+
+    # --- agent compaction: the control laws run on a fixed [A] agent set
+    # instead of every capacity lane (the reference iterates agents, not
+    # entities — sc_traffic_ai.cpp:262).  The LOD system caps live agents
+    # at cfg.max_vehicles_total, so A = cap + margin loses nobody; lanes,
+    # sensor rays and the clearance sweep shrink capacity/A-fold (at 512
+    # capacity with 13 agents the full-lane AI stage was 178 ms/step for
+    # a 1024-env fleet).  A == capacity keeps the identity layout.
+    a_cap = min(n, int(cfg.max_vehicles_total) + 8)
+    if a_cap < n:
+        lane_idx = jnp.arange(n, dtype=jnp.int32)
+        score = jnp.where(is_agent_col, n - lane_idx, 0)
+        vals, _ = jax.lax.top_k(score, a_cap)
+        slots = jnp.where(vals > 0, n - vals, n)
+        slot_valid = slots < n
+        safe = jnp.minimum(slots, n - 1)
+    else:
+        slots = safe = jnp.arange(n, dtype=jnp.int32)
+        slot_valid = jnp.ones((n,), bool)
+    a = a_cap
+
+    g = lambda col: col[safe]
+    pos = g(state.transform.pos)
+    rot = g(state.transform.rot)
+    old_lane = g(tr.lane_id)
+    old_lane_s = g(tr.lane_s)
+    old_speed = g(tr.speed)
+    old_stuck = g(tr.stuck_timer)
+    old_cooldown = g(tr.lane_cooldown)
+    mode = jnp.where(slot_valid, g(tr.mode), -1)
+    look_ahead = g(tr.look_ahead)
+    max_steer_col = g(state.vehicle.max_steer)
+
+    is_agent = slot_valid & g(is_agent_col)
+    is_a = is_agent & (mode == TRAFFIC_PHYSICS)
+    is_bc = is_agent & (mode != TRAFFIC_PHYSICS) & (mode >= 0)
 
     # lane (re)acquisition: invalid lanes always; tier A every step unless a
     # fresh lane change is in flight (the cooldown pins the chosen lane so
     # nearest-lane doesn't snap straight back) (sc_traffic_ai.cpp:264-271)
     q_lane, q_s, _ = jax.vmap(lambda p: ln.nearest_lane(lanes, p))(pos)
-    need = is_agent & ((tr.lane_id < 0) | (is_a & (tr.lane_cooldown <= 0.0)))
-    lane_id = jnp.where(need, q_lane, tr.lane_id)
-    lane_s = jnp.where(need, q_s, tr.lane_s)
+    need = is_agent & ((old_lane < 0) | (is_a & (old_cooldown <= 0.0)))
+    lane_id = jnp.where(need, q_lane, old_lane)
+    lane_s = jnp.where(need, q_s, old_lane_s)
 
-    current_yaw = yaw_of_quat(state.transform.rot)
+    current_yaw = yaw_of_quat(rot)
 
     # forward sensor (sc_traffic_ai.cpp:301-347)
     fwd = jnp.stack(
@@ -86,8 +119,8 @@ def traffic_ai_update(
             return raycast(bodies, o, f, ray_len, query_mask=1, exclude=self_idx)
 
         hits = jax.vmap(sense)(
-            origin, fwd, jnp.arange(n, dtype=jnp.int32),
-            jnp.full((n,), cfg.front_ray_length),
+            origin, fwd, slots,
+            jnp.full((a,), cfg.front_ray_length),
         )
         hit_dist = jnp.where(hits.hit, hits.t, cfg.front_ray_length)
         hit_body = hits.body
@@ -102,14 +135,14 @@ def traffic_ai_update(
             0.0,
         )
     else:
-        hit_dist = jnp.full((n,), cfg.front_ray_length)
-        hit_type = jnp.zeros((n,), jnp.int32)
-        obstacle_brake = jnp.zeros((n,))
+        hit_dist = jnp.full((a,), cfg.front_ray_length)
+        hit_type = jnp.zeros((a,), jnp.int32)
+        obstacle_brake = jnp.zeros((a,))
 
     # --- lane change: blocked behind a vehicle -> hop to the parallel
     # neighbour lane if its slot is clear (extension: the reference declares
     # the cooldown field but never implements it, sc_traffic_common.h:38-44)
-    lane_cooldown = jnp.maximum(tr.lane_cooldown - dt, 0.0)
+    lane_cooldown = jnp.maximum(old_cooldown - dt, 0.0)
     if cfg.lane_change_enabled:
         alt_lane, alt_s, alt_ok = jax.vmap(
             lambda p, f, cl: ln.adjacent_lane(
@@ -119,14 +152,14 @@ def traffic_ai_update(
             )
         )(pos, fwd, lane_id)
         # clearance at the target point: nearest other agent must be beyond
-        # the gap ([N,N] masked sweep — capacity-sized, fine on TPU)
+        # the gap ([A,A] masked sweep over the compact agent set)
         safe_alt = jnp.maximum(alt_lane, 0)
         alt_pos = lanes.node_pos[lanes.seg_start[safe_alt]] + (
             lanes.seg_dir[safe_alt] * alt_s[:, None]
         )
         d2 = jnp.sum((alt_pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
         other = is_agent[None, :] & (
-            jnp.arange(n)[:, None] != jnp.arange(n)[None, :]
+            jnp.arange(a)[:, None] != jnp.arange(a)[None, :]
         )
         gap2 = jnp.min(jnp.where(other, d2, jnp.inf), axis=1)
         gap_ok = gap2 > cfg.lane_change_gap**2
@@ -146,10 +179,10 @@ def traffic_ai_update(
     # look-ahead steering target
     tgt_pos, _, tgt_ok = jax.vmap(
         lambda lid, s, d: ln.look_ahead_point(lanes, lid, s, d)
-    )(lane_id, lane_s, tr.look_ahead)
+    )(lane_id, lane_s, look_ahead)
     to_tgt = (tgt_pos - pos) * jnp.asarray([1.0, 0.0, 1.0])
     desired_yaw = yaw_from_dir(m3.safe_normalize(to_tgt))
-    max_steer = jnp.maximum(0.1, state.vehicle.max_steer)
+    max_steer = jnp.maximum(0.1, max_steer_col)
     steer = jnp.clip(wrap_angle(desired_yaw - current_yaw) / max_steer, -1.0, 1.0)
 
     safe_lane = jnp.maximum(lane_id, 0)
@@ -159,7 +192,7 @@ def traffic_ai_update(
     desired_speed = jnp.where(tgt_ok & (lane_id >= 0), desired_speed, 0.0)
 
     # --- Tier A: P-control into VehicleInput (sc_traffic_ai.cpp:351-394) ---
-    speed_a = tr.speed  # vehicle post-step writes real speed here
+    speed_a = old_speed  # vehicle post-step writes real speed here
     speed_err = desired_speed - speed_a
     denom = jnp.maximum(1.0, desired_speed)
     throttle = jnp.where(speed_err > 0.5, jnp.clip(speed_err / denom, 0.0, 1.0), 0.0)
@@ -167,15 +200,14 @@ def traffic_ai_update(
     brake = jnp.maximum(brake, obstacle_brake)
     throttle = throttle * (1.0 - obstacle_brake)
     new_input = jnp.stack([throttle, brake, steer, jnp.zeros_like(steer)], -1)
-    veh_input = jnp.where(is_a[:, None], new_input, state.vehicle.input)
 
     # stuck detection
     stuck_cond = is_a & (desired_speed > 2.0) & (speed_a < 0.2)
-    stuck_timer = jnp.where(stuck_cond, tr.stuck_timer + dt, 0.0)
+    stuck_timer = jnp.where(stuck_cond, old_stuck + dt, 0.0)
 
     # --- Tier B/C: smoothed advance along lane (sc_traffic_ai.cpp:434-460) ---
     desired_bc = desired_speed * (1.0 - obstacle_brake)
-    sm_speed = tr.speed + (desired_bc - tr.speed) * (1.0 - jnp.exp(-2.5 * dt))
+    sm_speed = old_speed + (desired_bc - old_speed) * (1.0 - jnp.exp(-2.5 * dt))
     travel = sm_speed * dt
     adv_lane, adv_s, adv_pos, adv_dir, adv_ok = jax.vmap(
         lambda lid, s, d: ln.advance_along_lane(lanes, lid, s, d)
@@ -185,36 +217,52 @@ def traffic_ai_update(
     # width to the side; capping the per-step move makes the car glide over
     # (normal advance has |move| <= travel, so the cap never binds there)
     step_vec = jnp.stack(
-        [adv_pos[:, 0] - pos[:, 0], jnp.zeros((n,)), adv_pos[:, 2] - pos[:, 2]], -1
+        [adv_pos[:, 0] - pos[:, 0], jnp.zeros((a,)), adv_pos[:, 2] - pos[:, 2]], -1
     )
     step_len = jnp.sqrt(jnp.sum(step_vec * step_vec, -1))
     cap = travel + 3.0 * dt  # 3 m/s lateral convergence
     scale = jnp.minimum(1.0, cap / jnp.maximum(step_len, 1e-6))
-    new_pos = jnp.where(move[:, None], pos + step_vec * scale[:, None], pos)
+    new_pos = pos + step_vec * scale[:, None]
     new_yaw = yaw_from_dir(adv_dir)
     yaw_quat = m3.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), new_yaw)
-    new_rot = jnp.where(move[:, None], yaw_quat, state.transform.rot)
     lane_id = jnp.where(move, adv_lane, lane_id)
     lane_s = jnp.where(move, adv_s, lane_s)
 
     # kinematic (tier B) bodies carry their motion so contacts push other
     # bodies like the reference's kinematic btRigidBody motion states do
-    is_kin = is_bc & (tr.mode == TRAFFIC_KINEMATIC)
+    is_kin = is_bc & (mode == TRAFFIC_KINEMATIC)
     kin_vel = adv_dir * sm_speed[:, None]
-    body_vel = jnp.where(is_kin[:, None], kin_vel, state.body.vel)
+
+    # --- scatter the compact agent results back to their entity rows ---
+    # (masked rows target the drop sentinel `n`, so non-selected writes
+    # vanish exactly like the old jnp.where merges)
+    def put(col, values, mask):
+        tgt = jnp.where(mask, slots, n)
+        return col.at[tgt].set(values, mode="drop")
 
     return state.replace(
-        transform=state.transform.replace(pos=new_pos, rot=new_rot),
-        body=state.body.replace(vel=body_vel),
-        vehicle=state.vehicle.replace(input=veh_input),
+        transform=state.transform.replace(
+            pos=put(state.transform.pos, new_pos, move),
+            rot=put(state.transform.rot, yaw_quat, move),
+        ),
+        body=state.body.replace(
+            vel=put(state.body.vel, kin_vel, is_kin),
+        ),
+        vehicle=state.vehicle.replace(
+            input=put(state.vehicle.input, new_input, is_a),
+        ),
         traffic=tr.replace(
-            lane_id=lane_id,
-            lane_s=lane_s,
-            target_speed=jnp.where(is_bc, sm_speed, desired_speed),
-            speed=jnp.where(is_bc, sm_speed, tr.speed),
-            stuck_timer=jnp.where(is_agent, stuck_timer, 0.0),
-            sensor_hit_dist=jnp.where(is_agent, hit_dist, 0.0),
-            sensor_hit_type=jnp.where(is_agent, hit_type, HIT_NONE),
-            lane_cooldown=jnp.where(is_agent, lane_cooldown, 0.0),
+            lane_id=put(tr.lane_id, lane_id, is_agent),
+            lane_s=put(tr.lane_s, lane_s, is_agent),
+            target_speed=put(
+                tr.target_speed,
+                jnp.where(is_bc, sm_speed, desired_speed),
+                is_agent,
+            ),
+            speed=put(tr.speed, jnp.where(is_bc, sm_speed, old_speed), is_agent),
+            stuck_timer=put(tr.stuck_timer, stuck_timer, is_agent),
+            sensor_hit_dist=put(tr.sensor_hit_dist, hit_dist, is_agent),
+            sensor_hit_type=put(tr.sensor_hit_type, hit_type, is_agent),
+            lane_cooldown=put(tr.lane_cooldown, lane_cooldown, is_agent),
         ),
     )
