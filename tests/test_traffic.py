@@ -336,3 +336,78 @@ def test_lane_change_around_blocker():
         prev = cur
     assert abs(float(s.transform.pos[0, 2]) - 3.5) < 0.3
     assert int(s.traffic.lane_id[0]) == lane1
+
+
+def test_ai_compaction_equivalence():
+    """The compacted agent set (a_cap < capacity) must produce the same
+    state update as the identity layout (a_cap == capacity): compaction is
+    a pure gather -> control laws -> drop-masked scatter (ai.py)."""
+    import dataclasses
+
+    from scx.physics.world import bodies_from_state
+
+    b = grid_lanes(1)
+    arr = b.to_arrays()
+    n = 64
+    s = st.alloc_entity_state(n)
+    lane0 = b.sector_segments[(0, 0)][0]
+    # agents scattered across high/low slots, all three tiers, one with an
+    # invalid lane (reacquisition path), plus a dynamic obstacle body
+    agents = [
+        (3, st.TRAFFIC_ONRAILS, lane0, 6.0),
+        (17, st.TRAFFIC_KINEMATIC, lane0, 14.0),
+        (29, st.TRAFFIC_PHYSICS, lane0, 22.0),
+        (45, st.TRAFFIC_ONRAILS, -1, 0.0),
+        (63, st.TRAFFIC_ONRAILS, lane0, 30.0),
+    ]
+    alive = s.alive
+    tr = s.traffic
+    pos = s.transform.pos
+    seg = b.segments[lane0]
+    start = np.asarray(b.nodes[seg["start"]]["pos"])
+    d = np.asarray(seg["dir"])
+    for slot, mode, lane, ls in agents:
+        alive = alive.at[slot].set(True)
+        tr = tr.replace(
+            mode=tr.mode.at[slot].set(mode),
+            lane_id=tr.lane_id.at[slot].set(lane),
+            lane_s=tr.lane_s.at[slot].set(ls),
+            speed=tr.speed.at[slot].set(5.0),
+        )
+        p = start + d * max(ls, 2.0)
+        pos = pos.at[slot].set(jnp.asarray(p, jnp.float32))
+    # obstacle vehicle body ahead of agent 3 (sensor + typed-hit path)
+    alive = alive.at[8].set(True)
+    pos = pos.at[8].set(jnp.asarray(start + d * 12.0 + [0.0, 0.5, 0.0], jnp.float32))
+    s = s.replace(
+        alive=alive,
+        transform=s.transform.replace(pos=pos),
+        traffic=tr,
+        body=s.body.replace(
+            body_type=s.body.body_type.at[8].set(st.BODY_DYNAMIC),
+            mass=s.body.mass.at[8].set(1200.0),
+        ),
+    )
+    is_vehicle = jnp.zeros(n, bool).at[8].set(True)
+    dt = 1.0 / 60.0
+
+    cfg_compact = TrafficConfig(max_vehicles_total=8)    # a_cap = 16 < 64
+    cfg_identity = TrafficConfig(max_vehicles_total=n)   # a_cap = 64 == n
+    assert dataclasses.asdict(cfg_compact) != dataclasses.asdict(cfg_identity)
+
+    def run(cfg, ss):
+        f = jax.jit(
+            lambda x: tai.traffic_ai_update(
+                x, arr, bodies_from_state(x), is_vehicle, cfg, dt
+            )
+        )
+        for _ in range(30):
+            ss = f(ss)
+        return ss
+
+    out_c = run(cfg_compact, s)
+    out_i = run(cfg_identity, s)
+    for leaf_c, leaf_i in zip(jax.tree.leaves(out_c), jax.tree.leaves(out_i)):
+        np.testing.assert_allclose(
+            np.asarray(leaf_c), np.asarray(leaf_i), rtol=1e-6, atol=1e-6
+        )
