@@ -317,6 +317,20 @@ class CityRLEnv:
         draws = emit_draws(state, visible, mats, self.draw_budget)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
+    def _render_obs_batched(self, batch):
+        """RGB-D observations [N,H,W,4] for the whole batch.
+
+        Binning happens OUTSIDE the per-env vmap: its rank-recovery scatter
+        lowers ~50x slower as a batched scatter than as one folded 2D
+        scatter. raster_gbuffer_batched dispatches cluster vs triangle
+        binning on raster.use_clusters (cluster kernel for big GLB scenes).
+        """
+        from scx.render.pipeline import raster_gbuffer_batched
+
+        setup, aabb, valid = jax.vmap(self._render_one)(batch)
+        g, _rstats = raster_gbuffer_batched(setup, aabb, valid, self.raster)
+        return jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
+
     def _step_impl(self, batch, cache, actions):
         def env_step(state, c, action):
             state, c, _, counts = self._tick(
@@ -348,15 +362,7 @@ class CityRLEnv:
             "nan_rollbacks": jnp.sum((~ok).astype(jnp.int32)),
             "pair_overflow": jnp.max(overflow),
         }
-        setup, aabb, valid = jax.vmap(self._render_one)(batch)
-        # binning OUTSIDE the vmap: its rank-recovery scatter lowers ~50x
-        # slower as a batched scatter than as one folded 2D scatter.
-        # raster_gbuffer_batched dispatches cluster vs triangle binning
-        # on raster.use_clusters (cluster kernel for big GLB scenes).
-        from scx.render.pipeline import raster_gbuffer_batched
-
-        g, _rstats = raster_gbuffer_batched(setup, aabb, valid, self.raster)
-        obs = jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
+        obs = self._render_obs_batched(batch)
         # reward: forward progress of the player (m per step)
         fwd_speed = jax.vmap(
             lambda s: m3.dot(
@@ -400,6 +406,44 @@ class CityRLEnv:
             body, (batch, cache, jnp.int32(0)), None, length=length
         )
         return batch, cache, nans, aux
+
+    def make_policy_rollout(self, policy, length: int):
+        """Pure policy-in-the-loop rollout for on-device RL training.
+
+        `policy(params, obs [N,H,W,4], key) -> (actions [N,4], logp [N])`
+        runs on the SAME chip inside the rollout scan — observations never
+        cross the host link (the deployment shape BASELINE config #5 is
+        for; `rollout` with fixed actions is just the benchmark harness).
+
+        Returns a pure function
+            (batch, cache, params, key) ->
+                (batch, cache, (rewards [L,N], logps [L,N], obs_means [L,N]))
+        that callers jit/grad themselves. It is differentiable w.r.t.
+        `params` through the per-step policy application ONLY: actions are
+        stop_gradient'ed into the sim (score-function/REINFORCE estimators
+        need no path through physics or raster, and differentiating the
+        whole engine step would store every intermediate of the frame).
+        See examples/train_reinforce.py for the full training loop.
+        """
+
+        def fn(batch, cache, params, key):
+            obs0 = self._render_obs_batched(batch)
+
+            def body(carry, k):
+                b, c, obs = carry
+                actions, logp = policy(params, obs, k)
+                b, c, obs2, rew, _info = self._step_impl(
+                    b, c, jax.lax.stop_gradient(actions)
+                )
+                return (b, c, obs2), (rew, logp, jnp.mean(obs2, axis=(1, 2, 3)))
+
+            keys = jax.random.split(key, length)
+            (batch, cache, _), aux = jax.lax.scan(
+                body, (batch, cache, obs0), keys
+            )
+            return batch, cache, aux
+
+        return fn
 
     # pre-measurement launch budget (env-steps): a single XLA execution
     # running for minutes trips device/transport watchdogs (a 4096-env x
