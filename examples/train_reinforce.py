@@ -85,6 +85,68 @@ def policy_apply(params, obs, key):
     return actions, logp
 
 
+def make_sharded_train_step(env, policy, length: int, opt, mesh=None):
+    """Data-parallel REINFORCE over the device mesh: envs shard over 'dp',
+    the policy params replicate, per-shard gradients reduce with pmean —
+    the standard DP training recipe (params everywhere, batch split,
+    gradient all-reduce over ICI), applied to the RL fleet.
+
+    Returns (train_step, place) where
+      train_step(params, opt_state, batch, cache, key) ->
+          (params, opt_state, batch, cache, loss, mean_return)
+    and place(batch_or_cache) shards an env pytree onto the mesh.
+    Per-shard advantage normalization (each chip whitens its own envs)."""
+    import optax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scx.parallel.mesh import make_mesh, shard_env_batch
+
+    if mesh is None:
+        mesh = make_mesh()
+    rollout = env.make_policy_rollout(policy, length)
+
+    def local(params, batch, cache, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+
+        def loss_fn(p):
+            b, c, (rews, logps, _) = rollout(batch, cache, p, key)
+            rets = jnp.cumsum(rews[::-1], axis=0)[::-1]
+            adv = rets - jnp.mean(rets, axis=1, keepdims=True)
+            adv = adv / (jnp.std(adv) + 1e-6)
+            loss = -jnp.mean(logps * jax.lax.stop_gradient(adv))
+            return loss, (b, c, jnp.mean(jnp.sum(rews, axis=0)))
+
+        (loss, (batch, cache, ep_rew)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # the DP collective: gradients (and scalars) average across chips
+        grads = jax.lax.pmean(grads, "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        ep_rew = jax.lax.pmean(ep_rew, "dp")
+        return grads, loss, ep_rew, batch, cache
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P()),
+        out_specs=(P(), P(), P(), P("dp"), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, batch, cache, key):
+        grads, loss, ep_rew, batch, cache = sharded(params, batch, cache, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, batch, cache, loss, ep_rew
+
+    def place(tree):
+        return shard_env_batch(tree, mesh)
+
+    return train_step, place
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=256)
@@ -95,6 +157,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="data-parallel over the device mesh (envs shard over 'dp', "
+             "gradients pmean across chips)",
+    )
     args = ap.parse_args()
 
     import optax
@@ -115,6 +182,28 @@ def main():
     params = policy_init(pk, args.obs)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
+
+    if args.sharded:
+        train_sharded, place = make_sharded_train_step(
+            env, policy_apply, args.length, opt
+        )
+        batch, cache = place(env.state), place(env.cache)
+        for it in range(args.iters):
+            key, rk = jax.random.split(key)
+            t0 = time.time()
+            params, opt_state, batch, cache, loss, ep_rew = train_sharded(
+                params, opt_state, batch, cache, rk
+            )
+            jax.block_until_ready(loss)
+            print(
+                f"iter {it:3d}  loss {float(loss):+.4f}  "
+                f"mean return {float(ep_rew):+.3f} m  "
+                f"({args.envs * args.length / (time.time()-t0):,.0f} env-steps/s "
+                f"over {jax.device_count()} devices)",
+                flush=True,
+            )
+        print("done", flush=True)
+        return
 
     rollout = env.make_policy_rollout(policy_apply, args.length)
 
