@@ -147,6 +147,17 @@ def make_sharded_train_step(env, policy, length: int, opt, mesh=None):
     return train_step, place
 
 
+def save_policy(path: str, params: dict):
+    """Policy params -> one .npz (same dependency-light convention as
+    scx.app.checkpoint for sim state)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_policy(path: str) -> dict:
+    with np.load(path) as data:
+        return {k: jnp.asarray(data[k]) for k in data.files}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=256)
@@ -162,6 +173,10 @@ def main():
         help="data-parallel over the device mesh (envs shard over 'dp', "
              "gradients pmean across chips)",
     )
+    ap.add_argument("--save", type=str, default=None,
+                    help="write the trained policy to this .npz")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="load initial policy params from this .npz")
     args = ap.parse_args()
 
     import optax
@@ -179,7 +194,9 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     key, pk = jax.random.split(key)
-    params = policy_init(pk, args.obs)
+    params = (
+        load_policy(args.resume) if args.resume else policy_init(pk, args.obs)
+    )
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
@@ -202,6 +219,9 @@ def main():
                 f"over {jax.device_count()} devices)",
                 flush=True,
             )
+        if args.save:
+            save_policy(args.save, params)
+            print(f"saved policy -> {args.save}", flush=True)
         print("done", flush=True)
         return
 
@@ -239,6 +259,9 @@ def main():
             f"({args.envs * args.length / (time.time()-t0):,.0f} env-steps/s)",
             flush=True,
         )
+    if args.save:
+        save_policy(args.save, params)
+        print(f"saved policy -> {args.save}", flush=True)
     print("done", flush=True)
 
 
