@@ -131,19 +131,71 @@ def main():
             return s, None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
+    from scx.physics.rigid import integrate_positions, integrate_velocities
+    from scx.physics.warmstart import gather_warm_impulses, store_impulses
+    from scx.physics.world import vehicle_prestep, write_back
+
+    def chain_vehicle(b):
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                st, bodies, _ = vehicle_prestep(st, bodies, dt)
+                return write_back(st, bodies)
+            return jax.vmap(one)(s), None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    def chain_sync(b):
+        # the contact-free remainder: state->bodies view, integrate,
+        # write back (attribution for the veh+integ+ws bucket)
+        def body(s, i):
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st):
+                bodies = bodies_from_state(st)
+                bodies = integrate_velocities(bodies, dt, solver.gravity)
+                bodies = integrate_positions(bodies, dt)
+                return write_back(st, bodies)
+            return jax.vmap(one)(s), None
+        return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+    def chain_warmstart(b, c):
+        def body(carry, i):
+            s, cc = carry
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st, cache1):
+                bodies = bodies_from_state(st)
+                ia, ib, val, _ = broadphase_pairs(bodies, solver.max_pairs)
+                from scx.physics.contacts import generate_contacts as gc
+                con = gc(bodies, ia, ib, val)
+                lam0 = gather_warm_impulses(cache1, ia, ib, val, con.cand, bodies.n)
+                cache1 = store_impulses(
+                    cache1, ia, ib, val, con.cand, lam0, con.valid, bodies.n
+                )
+                return jnp.sum(lam0), cache1
+            acc, cc = jax.vmap(one)(s, cc)
+            s = s.replace(body=s.body.replace(
+                vel=s.body.vel + (acc * 0.0)[:, None, None]))
+            return (s, cc), None
+        (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
+        return b, c
+
     stages = {
         "physics_full": jax.jit(chain_physics),
         "ai": jax.jit(chain_ai),
         "broadphase": jax.jit(chain_broadphase),
         "bp+contacts": jax.jit(chain_contacts),
         "bp+con+solve": jax.jit(chain_solve),
+        "vehicle": jax.jit(chain_vehicle),
+        "integ_sync": jax.jit(chain_sync),
+        "bp+con+warm": jax.jit(chain_warmstart),
     }
 
     # compile everything first
     compiled = {}
+    takes_cache = {"physics_full", "bp+con+warm"}
     for name, fn in stages.items():
         t0 = time.time()
-        if name == "physics_full":
+        if name in takes_cache:
             out = fn(batch, cache)
         else:
             out = fn(batch)
@@ -158,7 +210,7 @@ def main():
     results = {}
     for name, fn in compiled.items():
         t0 = time.time()
-        if name == "physics_full":
+        if name in takes_cache:
             out = fn(batch, cache)
         else:
             out = fn(batch)
@@ -173,6 +225,8 @@ def main():
         print(f"{'contacts':>14}: {results['bp+contacts']-results['broadphase']:8.2f} ms (delta)")
         print(f"{'solve':>14}: {results['bp+con+solve']-results['bp+contacts']:8.2f} ms (delta)")
         print(f"{'veh+integ+ws':>14}: {results['physics_full']-results['bp+con+solve']:8.2f} ms (delta)")
+    if all(k in results for k in ("bp+contacts", "bp+con+warm")):
+        print(f"{'warmstart':>14}: {results['bp+con+warm']-results['bp+contacts']:8.2f} ms (delta)")
 
     if args.trace:
         from scx.telemetry import trace as tr

@@ -114,25 +114,13 @@ def vehicle_slots(state: EntityState, max_vehicles: int = MAX_VEHICLES):
     return slots, slots < n
 
 
-def physics_sync_step(
-    state: EntityState,
-    params: SolverParams,
-    vparams: VehicleParams,
-    dt,
-    cache,
-):
-    """One fixed step: vehicle pre-step -> warm-started solver step ->
-    write back. Returns (state, cache, stats).
+def vehicle_prestep(state: EntityState, bodies: RigidBodies, dt):
+    """VehicleSystemPreStep equivalent on the compacted vehicle-slot set:
+    smoothed controls, wheel-ray suspension/drive impulses into the body
+    velocities, runtime columns written back (sc_vehicle.cpp:165-394).
 
-    `cache` is the contact warm-start cache (scx.physics.warmstart),
-    threaded across steps by the caller; `stats` surfaces pair/contact
-    counts and capacity overflow. `vparams` supplies the static bits only
-    (wheel_width for geometry helpers); the dynamic tuning each vehicle
-    drives with comes from its own EntityState columns (per-entity live
-    tuning, updateVehicleTuning parity — sc_physics.cpp:970-1013)."""
-    del vparams  # per-entity tuning columns are authoritative
-    bodies = bodies_from_state(state)
-
+    Returns (state, bodies, v_idx) — v_idx are the scatter targets
+    (capacity = dropped lane) for downstream per-vehicle writes."""
     slots, valid = vehicle_slots(state)
     from scx.physics.rigid import inv_inertia_world as _iiw
 
@@ -178,6 +166,28 @@ def physics_sync_step(
             ),
         )
     )
+    return state, bodies, v_idx
+
+
+def physics_sync_step(
+    state: EntityState,
+    params: SolverParams,
+    vparams: VehicleParams,
+    dt,
+    cache,
+):
+    """One fixed step: vehicle pre-step -> warm-started solver step ->
+    write back. Returns (state, cache, stats).
+
+    `cache` is the contact warm-start cache (scx.physics.warmstart),
+    threaded across steps by the caller; `stats` surfaces pair/contact
+    counts and capacity overflow. `vparams` supplies the static bits only
+    (wheel_width for geometry helpers); the dynamic tuning each vehicle
+    drives with comes from its own EntityState columns (per-entity live
+    tuning, updateVehicleTuning parity — sc_physics.cpp:970-1013)."""
+    del vparams  # per-entity tuning columns are authoritative
+    bodies = bodies_from_state(state)
+    state, bodies, v_idx = vehicle_prestep(state, bodies, dt)
 
     bodies, cache, pstats = step_bodies_cached(bodies, params, cache)
     state = write_back(state, bodies)
