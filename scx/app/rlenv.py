@@ -83,7 +83,13 @@ class CityRLEnv:
         # [cap+8] agent rows instead of every capacity lane (the full-lane
         # AI stage was 178 ms/step at 512 capacity x 1024 envs)
         cfg = EngineConfig(
-            traffic=TrafficConfig(max_vehicles_total=max(24, n_traffic + 4))
+            traffic=TrafficConfig(
+                max_vehicles_total=max(24, n_traffic + 4),
+                # only n_traffic agents exist, so capping tier-A promotions
+                # at n_traffic+1 is behavior-identical and right-sizes the
+                # vehicle slot set (wheel raycasts scan all capacity boxes)
+                max_vehicles_physics=min(24, n_traffic + 1),
+            )
         )
         self.cfg = cfg
         self.pool = build_mesh_pool(meshes)

@@ -98,6 +98,13 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
     the caller. Telemetry includes physics capacity overflow counters."""
     tcfg = cfg.traffic
     dt = cfg.physics.fixed_dt
+    # vehicle-slot capacity: tier-A promotions are capped by the traffic
+    # config, +4 covers the player and spares (every wheel raycast scans
+    # all capacity boxes, so fleets with few vehicles shouldn't pay the
+    # full 32-slot default)
+    from scx.physics.world import MAX_VEHICLES
+
+    max_vehicles = min(MAX_VEHICLES, int(tcfg.max_vehicles_physics) + 4)
 
     def tick(state, cache, lanes, player_idx, player_input, n_steps):
         # player input -> vehicle input column (Input phase)
@@ -121,7 +128,9 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
                 bodies = bodies_from_state(s)
                 is_veh = (s.components & ent.C_VEHICLE) != 0
                 s = traffic_ai_update(s, lanes, bodies, is_veh, tcfg, dt)
-                return physics_sync_step(s, sim.solver, sim.vehicle, dt, c)
+                return physics_sync_step(
+                    s, sim.solver, sim.vehicle, dt, c, max_vehicles
+                )
 
             new_s, new_c, pstats = run(state, cache)
             sel = lambda a, b: jnp.where(jnp.reshape(active, (1,) * a.ndim), a, b)

@@ -114,14 +114,19 @@ def vehicle_slots(state: EntityState, max_vehicles: int = MAX_VEHICLES):
     return slots, slots < n
 
 
-def vehicle_prestep(state: EntityState, bodies: RigidBodies, dt):
+def vehicle_prestep(
+    state: EntityState, bodies: RigidBodies, dt, max_vehicles: int = MAX_VEHICLES
+):
     """VehicleSystemPreStep equivalent on the compacted vehicle-slot set:
     smoothed controls, wheel-ray suspension/drive impulses into the body
     velocities, runtime columns written back (sc_vehicle.cpp:165-394).
 
-    Returns (state, bodies, v_idx) — v_idx are the scatter targets
-    (capacity = dropped lane) for downstream per-vehicle writes."""
-    slots, valid = vehicle_slots(state)
+    `max_vehicles` sizes the slot set (static): every wheel raycast scans
+    all capacity boxes, so fleets with few vehicles (RL envs: traffic
+    tier-A cap + player) right-size it instead of paying the 32-slot
+    default. Returns (state, bodies, v_idx) — v_idx are the scatter
+    targets (capacity = dropped lane) for downstream per-vehicle writes."""
+    slots, valid = vehicle_slots(state, max_vehicles)
     from scx.physics.rigid import inv_inertia_world as _iiw
 
     # gather per-chassis inverse inertia BEFORE the vmap: a closed-over
@@ -175,6 +180,7 @@ def physics_sync_step(
     vparams: VehicleParams,
     dt,
     cache,
+    max_vehicles: int = MAX_VEHICLES,
 ):
     """One fixed step: vehicle pre-step -> warm-started solver step ->
     write back. Returns (state, cache, stats).
@@ -187,7 +193,7 @@ def physics_sync_step(
     tuning, updateVehicleTuning parity — sc_physics.cpp:970-1013)."""
     del vparams  # per-entity tuning columns are authoritative
     bodies = bodies_from_state(state)
-    state, bodies, v_idx = vehicle_prestep(state, bodies, dt)
+    state, bodies, v_idx = vehicle_prestep(state, bodies, dt, max_vehicles)
 
     bodies, cache, pstats = step_bodies_cached(bodies, params, cache)
     state = write_back(state, bodies)
