@@ -170,3 +170,61 @@ def test_per_vehicle_tuning_columns():
     st = vh.set_vehicle_tuning(st, 2, vh.VehicleParams())
     st, cache = step(st, cache)
     assert float(vh.tuning_gather(st.vehicle, 2).engine_force) == 8000.0
+
+
+def test_vehicle_slot_cap_equivalence():
+    """A right-sized vehicle slot cap (physics: right-sized vehicle slot
+    capacity) must produce the same step as the full 32-slot default when
+    it covers every vehicle: the slots are a pure gather set."""
+    import numpy as np
+
+    from scx.physics.world import physics_sync_step
+    from scx.physics.warmstart import empty_contact_cache
+    from scx.app.sandbox import spawn_player_vehicle
+    from scx import state as st
+
+    n = 48
+    s = st.alloc_entity_state(n)
+    # ground + two vehicles at scattered slots
+    s = s.replace(
+        alive=s.alive.at[0].set(True),
+        body=s.body.replace(
+            body_type=s.body.body_type.at[0].set(st.BODY_STATIC),
+            half_extents=s.body.half_extents.at[0].set(
+                jnp.asarray([32.0, 0.1, 32.0])
+            ),
+        ),
+        transform=s.transform.replace(
+            pos=s.transform.pos.at[0].set(jnp.asarray([0.0, -0.1, 0.0]))
+        ),
+    )
+    s = spawn_player_vehicle(s, 7, pos=(0.0, 0.6, 0.0))
+    s = spawn_player_vehicle(s, 41, pos=(6.0, 0.6, 0.0))
+    s = s.replace(
+        vehicle=s.vehicle.replace(
+            input=s.vehicle.input.at[7].set(jnp.asarray([0.8, 0.0, 0.2, 0.0]))
+            .at[41].set(jnp.asarray([0.5, 0.0, -0.1, 0.0]))
+        )
+    )
+    solver = ph.SolverParams(max_pairs=64, iterations=4)
+    dt = 1.0 / 60.0
+
+    def run(mv, ss):
+        cache = empty_contact_cache(solver.max_pairs)
+        f = jax.jit(
+            lambda x, c: physics_sync_step(
+                x, solver, vh.VehicleParams(), dt, c, max_vehicles=mv
+            )[:2]
+        )
+        for _ in range(30):
+            ss, cache = f(ss, cache)
+        return ss
+
+    out_small = run(6, s)    # covers both vehicles with margin
+    out_full = run(32, s)    # the old fixed default
+    for a, b in zip(jax.tree.leaves(out_small), jax.tree.leaves(out_full)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+    # and the vehicles actually drove
+    assert float(out_full.body.vel[7, 2]) > 0.5
