@@ -430,6 +430,11 @@ class CityRLEnv:
         need no path through physics or raster, and differentiating the
         whole engine step would store every intermediate of the frame).
         See examples/train_reinforce.py for the full training loop.
+
+        One call is ONE device launch: keep `length * n_envs` under
+        MAX_ENVSTEPS_PER_LAUNCH (the ~60 s execution watchdog, CLAUDE.md
+        quirk 9) and loop on the host for longer training rollouts —
+        the pure-fn shape makes that loop a natural optimizer step.
         """
 
         def fn(batch, cache, params, key):
