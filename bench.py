@@ -78,8 +78,60 @@ def build_batch(envs: int, n: int) -> ph.RigidBodies:
     return jax.vmap(one_env)(jnp.arange(envs, dtype=jnp.int32))
 
 
+def _wait_for_tunnel(max_wait_s: float = 1500.0) -> bool:
+    """The axon tunnel has multi-hour outages during which the FIRST device
+    touch in any process blocks forever with zero output (CLAUDE.md quirk
+    11).  Probe it in a killable subprocess and wait (bounded) for it to come
+    back rather than hanging the driver's whole window like BENCH_r02 did.
+    Returns True when a probe succeeds."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=60.0,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(
+            f"# tunnel probe {attempt} failed; retrying "
+            f"({remaining:.0f}s left)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main():
     from scx.physics.warmstart import empty_contact_cache
+
+    if not _wait_for_tunnel():
+        # Emit SOMETHING parseable rather than hanging silently: the driver
+        # records the line; value 0 is honest (no measurement possible).
+        print(
+            json.dumps(
+                {
+                    "metric": "physics_env_steps_per_sec",
+                    "value": 0.0,
+                    "unit": "env_steps/s",
+                    "vs_baseline": 0.0,
+                    "error": "TPU tunnel unreachable after bounded wait",
+                }
+            ),
+            flush=True,
+        )
+        return
 
     # production solver setting: 6 warm-started iterations (== cold-8 quality;
     # see tests/test_physics_solver.py tower test)
@@ -132,18 +184,19 @@ def main():
         print("BENCH_JSON " + json.dumps(sec), flush=True)
 
 
-def _secondaries() -> list:
+def _secondaries():
     """Render + RL benchmarks as subprocesses (each in a quiet process —
     co-resident remote compiles poison timings, CLAUDE.md trap 10b), under
     one strict total wall budget so they can never starve the driver.
-    Results stream out as they land. Skip with SCX_BENCH_SECONDARIES=0."""
+    A generator: each result is yielded (and printed by the caller) as soon
+    as its script finishes, so a driver window closing mid-run still keeps
+    every completed secondary. Skip with SCX_BENCH_SECONDARIES=0."""
     import subprocess
     import sys
 
     if os.environ.get("SCX_BENCH_SECONDARIES", "1") == "0":
-        return []
+        return
     root = os.path.dirname(os.path.abspath(__file__))
-    out = []
     deadline = time.monotonic() + SECONDARY_TOTAL_BUDGET_S
     # ordered by VERDICT priority: 720p + RL first (must be captured),
     # spatial/bigscene only if budget remains
@@ -156,7 +209,7 @@ def _secondaries() -> list:
     ):
         remaining = deadline - time.monotonic()
         if remaining <= 30.0:
-            out.append({"metric": script, "skipped": "total budget exhausted"})
+            yield {"metric": script, "skipped": "total budget exhausted"}
             continue
         timeout = min(SECONDARY_SCRIPT_TIMEOUT_S, remaining)
         env = dict(os.environ)
@@ -173,18 +226,15 @@ def _secondaries() -> list:
             got = False
             for line in proc.stdout.splitlines():
                 if line.startswith("BENCH_JSON "):
-                    out.append(json.loads(line[len("BENCH_JSON "):]))
+                    yield json.loads(line[len("BENCH_JSON "):])
                     got = True
             if not got:
-                out.append(
-                    {
-                        "metric": script,
-                        "error": f"rc={proc.returncode}, no BENCH_JSON line",
-                    }
-                )
+                yield {
+                    "metric": script,
+                    "error": f"rc={proc.returncode}, no BENCH_JSON line",
+                }
         except Exception as e:  # noqa: BLE001 — never break the primary line
-            out.append({"metric": script, "error": str(e)[:200]})
-    return out
+            yield {"metric": script, "error": str(e)[:200]}
 
 
 if __name__ == "__main__":

@@ -177,7 +177,12 @@ def main():
                     help="write the trained policy to this .npz")
     ap.add_argument("--resume", type=str, default=None,
                     help="load initial policy params from this .npz")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU tunnel hangs "
+                         "silently when down — CLAUDE.md quirk 11)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import optax
 

@@ -456,6 +456,58 @@ class CityRLEnv:
 
         return fn
 
+    def make_trajectory_rollout(self, actor_critic, length: int):
+        """On-device trajectory collection for actor-critic methods (PPO).
+
+        `actor_critic(params, obs [N,H,W,4], key) ->
+            (actions [N,4], logp [N], value [N], store)`
+        runs inside the rollout scan like `make_policy_rollout`'s policy;
+        `store` is whatever pytree the UPDATE phase needs to recompute
+        logp/value under new params (e.g. {'obs': pooled_obs, 'raw':
+        pre-squash sample} — store encodings, not necessarily raw pixels:
+        the caller controls the memory/length trade).
+
+        Returns a pure non-differentiated collection function
+            (batch, cache, params, key) -> (batch, cache, traj)
+        with traj = {'store' [L,...], 'logp' [L,N], 'value' [L,N],
+        'reward' [L,N], 'last_value' [N]} — last_value bootstraps GAE
+        (scx.rl.gae). PPO's update epochs (scx.rl.make_ppo_train_step)
+        differentiate through `apply(params, store)` instead, so the
+        rollout itself never builds a grad tape over the engine step.
+
+        Same launch-budget rule as make_policy_rollout: one call is ONE
+        device launch — keep `length * n_envs` under
+        MAX_ENVSTEPS_PER_LAUNCH (the ~60 s execution watchdog, CLAUDE.md
+        quirk 9) and loop on the host for longer collection horizons.
+        """
+
+        def fn(batch, cache, params, key):
+            obs0 = self._render_obs_batched(batch)
+
+            def body(carry, k):
+                b, c, obs = carry
+                actions, logp, value, store = actor_critic(params, obs, k)
+                b, c, obs2, rew, _info = self._step_impl(
+                    b, c, jax.lax.stop_gradient(actions)
+                )
+                return (b, c, obs2), (store, logp, value, rew)
+
+            keys = jax.random.split(key, length + 1)
+            (batch, cache, obs_last), (store, logp, value, rew) = jax.lax.scan(
+                body, (batch, cache, obs0), keys[:length]
+            )
+            _, _, last_value, _ = actor_critic(params, obs_last, keys[length])
+            traj = {
+                "store": store,
+                "logp": logp,
+                "value": value,
+                "reward": rew,
+                "last_value": last_value,
+            }
+            return batch, cache, jax.lax.stop_gradient(traj)
+
+        return fn
+
     # pre-measurement launch budget (env-steps): a single XLA execution
     # running for minutes trips device/transport watchdogs (a 4096-env x
     # 10-step launch ≈ 70 s reproducibly killed the TPU worker; the same

@@ -1,0 +1,195 @@
+"""Clipped-surrogate PPO over the batched city envs, fully on device.
+
+The reference engine has no training story (SURVEY §2 parallelism item 6:
+ML-style strategies absent); this module is the TPU-native capability the
+rebuild adds on top of parity.  Shape of the thing:
+
+  * collection: `CityRLEnv.make_trajectory_rollout` scans the FULL engine
+    step (physics + traffic + raster) with the actor-critic inline — raw
+    observations never cross the host link; the rollout stores only what
+    the update phase needs (`store`, caller-chosen).
+  * update: `cfg.epochs` x `cfg.minibatches` clipped-PPO steps as nested
+    lax.scan — one compiled program per train step, optimizer included.
+  * scale-out: the same train step runs under shard_map over the mesh's
+    'dp' axis — envs shard, params replicate, gradient/statistic pmean
+    over ICI (the standard DP recipe, applied to RL).
+
+No framework dependency beyond optax: params are plain pytrees and the
+actor-critic is a pure function, exactly like every engine system.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from scx.rl.gae import gae
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    gamma: float = 0.99
+    lam: float = 0.95
+    epochs: int = 4
+    minibatches: int = 4
+    # advantage whitening over the (global, when sharded) batch
+    normalize_adv: bool = True
+
+
+def ppo_loss(params, apply, mb, cfg: PPOConfig):
+    """Clipped-surrogate loss on one minibatch.
+
+    `apply(params, store) -> (logp, value, entropy)` recomputes the policy
+    on the stored step data; `mb` carries {'store', 'logp_old', 'adv',
+    'ret'} rows. Returns (loss, metrics dict).
+    """
+    logp, value, entropy = apply(params, mb["store"])
+    ratio = jnp.exp(logp - mb["logp_old"])
+    adv = mb["adv"]
+    unclipped = ratio * adv
+    clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
+    policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+    value_loss = 0.5 * jnp.mean((value - mb["ret"]) ** 2)
+    ent = jnp.mean(entropy)
+    loss = policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * ent
+    metrics = {
+        "loss": loss,
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": ent,
+        "clip_frac": jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32)
+        ),
+    }
+    return loss, metrics
+
+
+def _update_epochs(params, opt_state, flat, apply, opt, cfg: PPOConfig,
+                   key, axis):
+    """cfg.epochs passes of cfg.minibatches clipped steps over the flat
+    [B, ...] rows, as a nested scan (one XLA program; the minibatch gather
+    is a [mb]-row gather per step — rows, not elements, per the TPU budget).
+    """
+    import optax
+
+    n_rows = flat["logp_old"].shape[0]
+    mb_rows = n_rows // cfg.minibatches
+
+    def mb_body(carry, idx):
+        params, opt_state = carry
+        mb = jax.tree.map(lambda x: x[idx], flat)
+        (_, metrics), grads = jax.value_and_grad(
+            ppo_loss, has_aux=True
+        )(params, apply, mb, cfg)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), metrics
+
+    def epoch_body(carry, ek):
+        perm = jax.random.permutation(ek, n_rows)
+        idxs = perm[: mb_rows * cfg.minibatches].reshape(
+            cfg.minibatches, mb_rows
+        )
+        return jax.lax.scan(mb_body, carry, idxs)
+
+    keys = jax.random.split(key, cfg.epochs)
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch_body, (params, opt_state), keys
+    )
+    # [epochs, minibatches] metric traces -> last-pass means
+    metrics = jax.tree.map(lambda m: jnp.mean(m[-1]), metrics)
+    return params, opt_state, metrics
+
+
+def make_ppo_train_step(
+    env,
+    actor_critic,
+    apply,
+    length: int,
+    opt,
+    cfg: PPOConfig = PPOConfig(),
+    mesh=None,
+):
+    """Build the one-launch PPO train step over `env` (a CityRLEnv).
+
+    Args:
+      actor_critic: `(params, obs [N,H,W,4], key) -> (actions, logp, value,
+        store)` — the collection-phase policy (see
+        CityRLEnv.make_trajectory_rollout).
+      apply: `(params, store) -> (logp, value, entropy)` — the update-phase
+        recomputation on stored rows.
+      length: rollout horizon per train step (keep length * n_envs under
+        the launch watchdog budget, CLAUDE.md quirk 9).
+      opt: an optax GradientTransformation.
+      mesh: optional jax.sharding.Mesh — envs shard over its 'dp' axis,
+        params replicate, gradients pmean (scx.parallel.mesh.make_mesh).
+
+    Returns (train_step, place):
+      train_step(params, opt_state, batch, cache, key) ->
+          (params, opt_state, batch, cache, metrics)
+      place(tree): shards an env pytree onto the mesh ('dp'); identity
+      when mesh is None.
+    """
+    rollout = env.make_trajectory_rollout(actor_critic, length)
+
+    def local(params, opt_state, batch, cache, key, axis):
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        k_roll, k_upd = jax.random.split(key)
+        batch, cache, traj = rollout(batch, cache, params, k_roll)
+        adv, ret = gae(
+            traj["reward"], traj["value"], traj["last_value"],
+            cfg.gamma, cfg.lam,
+        )
+        if cfg.normalize_adv:
+            if axis is None:
+                mean, mean_sq = jnp.mean(adv), jnp.mean(adv**2)
+            else:  # global whitening: moments pmean'd across shards
+                mean = jax.lax.pmean(jnp.mean(adv), axis)
+                mean_sq = jax.lax.pmean(jnp.mean(adv**2), axis)
+            adv = (adv - mean) / (jnp.sqrt(mean_sq - mean**2) + 1e-6)
+        flat = {
+            "store": jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), traj["store"]
+            ),
+            "logp_old": traj["logp"].reshape(-1),
+            "adv": adv.reshape(-1),
+            "ret": ret.reshape(-1),
+        }
+        params, opt_state, metrics = _update_epochs(
+            params, opt_state, flat, apply, opt, cfg, k_upd, axis
+        )
+        mean_return = jnp.mean(jnp.sum(traj["reward"], axis=0))
+        if axis is not None:
+            mean_return = jax.lax.pmean(mean_return, axis)
+        metrics = dict(metrics, mean_return=mean_return)
+        return params, opt_state, batch, cache, metrics
+
+    if mesh is None:
+        train_step = jax.jit(
+            partial(local, axis=None),
+        )
+        return train_step, lambda tree: tree
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from scx.parallel.mesh import shard_env_batch
+
+    sharded = shard_map(
+        partial(local, axis="dp"),
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp"), P()),
+        out_specs=(P(), P(), P("dp"), P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded), lambda tree: shard_env_batch(tree, mesh)
