@@ -62,7 +62,10 @@ class AdaptiveChunker:
         if self.per_env_step_s is None:
             est = self.init_env_steps / (n_envs * self.first_launch_safety)
         else:
-            est = self.target_s / (self.per_env_step_s * n_envs)
+            # hard_s is the invariant even if a caller sets target_s above
+            # it; with the defaults the target already dominates
+            per_launch_s = min(self.target_s, self.hard_s)
+            est = per_launch_s / (self.per_env_step_s * n_envs)
         est = max(1, min(int(remaining), int(est) if est >= 1.0 else 1))
         # largest power of two <= est (floor keeps the duration bound)
         return 1 << (est.bit_length() - 1)
