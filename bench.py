@@ -94,10 +94,22 @@ def _wait_for_tunnel(max_wait_s: float = 1500.0) -> bool:
             proc = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 capture_output=True,
+                text=True,
                 timeout=60.0,
             )
             if proc.returncode == 0:
                 return True
+            # fast non-zero exit is NOT the tunnel-outage signature (that
+            # hangs, -> TimeoutExpired); surface the real error so local
+            # breakage (bad env, import error) is diagnosable, but keep
+            # retrying — connection-refused errors can also exit fast and
+            # recover
+            print(
+                f"# probe exited rc={proc.returncode}: "
+                + proc.stderr.strip()[-500:],
+                file=sys.stderr,
+                flush=True,
+            )
         except subprocess.TimeoutExpired:
             pass
         attempt += 1

@@ -86,8 +86,9 @@ def main():
               flush=True)
 
     @jax.jit
-    def eval_step(batch, cache, params, key):
-        obs = env._render_obs_batched(batch)
+    def eval_step(batch, cache, obs, params, key):
+        # obs carries through the loop (the step renders the NEXT one):
+        # rendering is the dominant per-step cost, never pay it twice
         actions = apply(params, obs, key)
         batch, cache, obs2, rew, _info = env._step_impl(
             batch, cache, actions
@@ -95,12 +96,13 @@ def main():
         return batch, cache, obs2, rew
 
     batch, cache = env.state, env.cache
+    obs = jax.jit(env._render_obs_batched)(batch)
     total_rew = np.zeros(args.envs, np.float32)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     for i in range(args.frames):
         key, sk = jax.random.split(key)
-        batch, cache, obs, rew = eval_step(batch, cache, params, sk)
+        batch, cache, obs, rew = eval_step(batch, cache, obs, params, sk)
         total_rew += np.asarray(rew)
         rgb = np.asarray(obs[0, :, :, :3])  # env 0's view, drop depth
         if args.out:

@@ -78,19 +78,6 @@ def _logp_of_raw(mean, log_std, raw):
     return jnp.sum(-0.5 * (z**2) - log_std - 0.5 * _LOG_2PI, axis=-1)
 
 
-def _squash(raw):
-    t = jnp.tanh(raw)
-    return jnp.stack(
-        [
-            (t[:, 0] + 1.0) * 0.5,   # throttle [0,1]
-            (t[:, 1] + 1.0) * 0.5,   # brake [0,1]
-            t[:, 2],                 # steer [-1,1]
-            (t[:, 3] + 1.0) * 0.5,   # handbrake [0,1]
-        ],
-        axis=-1,
-    )
-
-
 def actor_critic(params, obs, key):
     """Collection phase: (actions, logp, value, store) per
     CityRLEnv.make_trajectory_rollout."""
@@ -99,7 +86,9 @@ def actor_critic(params, obs, key):
     mean, log_std, value = _heads(params, feats)
     raw = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
     logp = _logp_of_raw(mean, log_std, raw)
-    return _squash(raw), logp, value, {"pobs": pobs, "raw": raw}
+    from scx.app.rlenv import squash_raw_actions
+
+    return squash_raw_actions(raw), logp, value, {"pobs": pobs, "raw": raw}
 
 
 def ac_apply(params, store):

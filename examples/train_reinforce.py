@@ -71,18 +71,9 @@ def policy_apply(params, obs, key):
     logp = jnp.sum(
         -0.5 * (z**2) - params["log_std"] - 0.5 * jnp.log(2 * jnp.pi), axis=-1
     )
-    t = jnp.tanh(raw)
-    # map to control ranges: [thr, brake, steer, handbrake]
-    actions = jnp.stack(
-        [
-            (t[:, 0] + 1.0) * 0.5,
-            (t[:, 1] + 1.0) * 0.5,
-            t[:, 2],
-            (t[:, 3] + 1.0) * 0.5,
-        ],
-        axis=-1,
-    )
-    return actions, logp
+    from scx.app.rlenv import squash_raw_actions
+
+    return squash_raw_actions(raw), logp
 
 
 def make_sharded_train_step(env, policy, length: int, opt, mesh=None):

@@ -36,6 +36,40 @@ def _flatten(state) -> dict:
     return leaves
 
 
+def save_aux_pytree(path: str, tree) -> None:
+    """Serialize any dataclass pytree (e.g. the solver's warm-start
+    ContactCache) to <path>.npz alongside a checkpoint."""
+    np.savez_compressed(path + ".npz", **_flatten(tree))
+
+
+def load_aux_pytree(path: str, template):
+    """Rebuild a pytree saved by save_aux_pytree onto `template`'s
+    structure. Returns None when the file is missing or any leaf's shape
+    disagrees with the template (e.g. the solver capacity was retuned
+    since the save) — callers keep their fresh template in that case."""
+    try:
+        data = np.load(path + ".npz")
+    except OSError:
+        return None
+    leaves = _flatten(template)
+    for key, leaf in leaves.items():
+        if key not in data or data[key].shape != leaf.shape:
+            return None
+
+    def rebuild(prefix, node):
+        updates = {}
+        for name in node.__dataclass_fields__:
+            child = getattr(node, name)
+            key = f"{prefix}{name}"
+            if hasattr(child, "__dataclass_fields__"):
+                updates[name] = rebuild(key + ".", child)
+            else:
+                updates[name] = jax.numpy.asarray(data[key])
+        return node.replace(**updates)
+
+    return rebuild("", template)
+
+
 def save_checkpoint(path: str, state: ent.EntityState, extra: dict | None = None):
     """Write sim state (+ optional host bookkeeping dict) to <path>.npz/.json."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

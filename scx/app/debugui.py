@@ -71,9 +71,20 @@ class DebugConsole:
         try:
             if op == "help":
                 return (
-                    "pause | freeze | overlay | set G.F V | get G.F | "
+                    "pause | freeze | overlay | save PATH | load PATH | "
+                    "set G.F V | get G.F | "
                     "inspect N | raycast x y z dx dy dz | groups: "
                     + " ".join(self._targets()) + " vehicle"
+                )
+            if op == "save":
+                ok = self.sb.save_game(parts[1])
+                return f"saved -> {parts[1]}" if ok else "save failed"
+            if op == "load":
+                ok = self.sb.load_game(parts[1])
+                return (
+                    f"loaded <- {parts[1]} (frame {self.sb.frame_no})"
+                    if ok
+                    else "load failed (missing/incompatible save)"
                 )
             if op == "pause":
                 self.sb.paused = not getattr(self.sb, "paused", False)

@@ -35,6 +35,24 @@ from scx.world import procgen
 from scx.world.culling import cull_entities, emit_draws
 
 
+def squash_raw_actions(raw):
+    """Map an unbounded [N,4] sample (e.g. a Gaussian policy's pre-tanh
+    draw) onto THE action convention of this env: throttle, brake and
+    handbrake in [0,1], steer in [-1,1]. The single home for the mapping —
+    every policy (examples/train_reinforce.py, train_ppo.py) squashes
+    through here so the convention cannot drift between them."""
+    t = jnp.tanh(raw)
+    return jnp.stack(
+        [
+            (t[:, 0] + 1.0) * 0.5,
+            (t[:, 1] + 1.0) * 0.5,
+            t[:, 2],
+            (t[:, 3] + 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+
 class CityRLEnv:
     """Batched sim-for-RL env. Actions: [N,4] (throttle, brake, steer,
     handbrake); observations: RGB-D [N,H,W,4]."""

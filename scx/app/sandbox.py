@@ -537,6 +537,131 @@ class Sandbox:
             self._hbm_bytes = int(dm.get("bytes_in_use", 0))
         t.device_hbm_bytes = getattr(self, "_hbm_bytes", 0)
 
+    def save_game(self, path: str) -> bool:
+        """Runtime save-game: the whole device state pytree plus the host
+        bookkeeping a resume needs (active sector set + per-sector entity
+        slots in activation order, the verbatim lane graph, traffic agent
+        registry, clock accumulator). The reference has NO runtime save —
+        persistence there is only authored sector files (SURVEY §5.4) —
+        so this is a beyond-parity capability the SoA design makes nearly
+        free. Returns True on success.
+
+        In-flight sector loads are not waited for; they simply re-request
+        after a load_game (same semantics as a sector that was queued at
+        save time). The contact warm-start cache saves to a sibling
+        .cache.npz so a resumed solve continues bit-identically; if the
+        solver capacity was retuned since the save, the cache silently
+        restarts cold (it is only an accelerant).
+        """
+        from scx.app import checkpoint
+        from scx.world.streaming import SectorState
+
+        jax.block_until_ready(self.state.alive)
+        sectors = []
+        for coord, sec in self.partition.sectors.items():  # insertion order
+            if sec.state != SectorState.ACTIVE:
+                continue
+            spawners = [
+                {
+                    "id": int(s.id),
+                    "pos": [float(x) for x in s.transform.position],
+                    "type": int(s.type),
+                    "rate": float(s.rate),
+                }
+                for s in self.partition.authored_spawners.get(coord, [])
+            ]
+            sectors.append(
+                {
+                    "coord": list(coord),
+                    "entity_slots": [int(i) for i in sec.entity_slots],
+                    "lanes": [
+                        [list(p) for p in lane]
+                        for lane in self.partition.authored_lanes.get(coord, [])
+                    ],
+                    "spawners": spawners,
+                }
+            )
+        extra = {
+            "kind": "sandbox_save",
+            "frame_no": int(self.frame_no),
+            "player_slot": int(self.player_slot),
+            "cam_pos": [float(x) for x in np.asarray(self.cam_pos)],
+            "clock_accumulator": float(self.clock.accumulator),
+            "partition_frame": int(self.partition.frame),
+            "sectors": sectors,
+            "lane_graph": self.lanes.to_snapshot(),
+            "sector_agents": [
+                [list(c), [int(s) for s in v]]
+                for c, v in (self.spawner.sector_agents if self.spawner else {}).items()
+            ],
+            # host-held frame remnants: LOD demotions not yet queued and
+            # the amortized despawn queue — dropping either would leak
+            # entities after a resume
+            "pending_lod_despawn": (
+                None
+                if self._pending_lod_despawn is None
+                else np.where(self._pending_lod_despawn)[0].tolist()
+            ),
+            "despawn_queue": [
+                [int(s), list(c)] for s, c in self.partition._despawn_queue
+            ],
+            "free_slots": [int(i) for i in self.partition._free],
+        }
+        ok = checkpoint.save_checkpoint(path, self.state, extra)
+        if ok:
+            checkpoint.save_aux_pytree(path + ".cache", self._cache)
+        return ok
+
+    def load_game(self, path: str) -> bool:
+        """Restore a save_game into THIS sandbox (same capacity). Device
+        state loads bitwise; host bookkeeping (streaming, lanes, traffic
+        registry, clock) restores so the next frame continues the saved
+        world: with streaming quiescent at save time and identical inputs,
+        the post-load trajectory is bit-identical to the uninterrupted one
+        (tests/test_app_sandbox.py::test_save_load_resume_bitwise)."""
+        from scx.app import checkpoint
+        from scx.physics.warmstart import empty_contact_cache
+
+        loaded = checkpoint.load_checkpoint(path)
+        if loaded is None:
+            return False
+        state, extra = loaded
+        if extra.get("kind") != "sandbox_save":
+            return False
+        if int(state.capacity) != int(self.capacity):
+            return False
+        self.state = jax.device_put(state)
+        self.frame_no = int(extra["frame_no"])
+        self.player_slot = int(extra["player_slot"])
+        self.cam_pos = jnp.asarray(extra["cam_pos"])
+        self.clock.accumulator = float(extra["clock_accumulator"])
+        self.partition.frame = int(extra["partition_frame"])
+        self.partition.restore(
+            np.asarray(self.state.alive),
+            extra["sectors"],
+            free=extra.get("free_slots"),
+        )
+        self.lanes.from_snapshot(extra["lane_graph"])
+        self._lane_arrays = self.lanes.to_arrays()
+        if self.spawner is not None:
+            self.spawner.sector_agents = {
+                tuple(c): list(v) for c, v in extra.get("sector_agents", [])
+            }
+        self.partition._despawn_queue = [
+            (int(s), tuple(c)) for s, c in extra.get("despawn_queue", [])
+        ]
+        pending = extra.get("pending_lod_despawn")
+        if pending is None:
+            self._pending_lod_despawn = None
+        else:
+            mask = np.zeros(self.capacity, bool)
+            mask[np.asarray(pending, int)] = True
+            self._pending_lod_despawn = mask
+        fresh = empty_contact_cache(self.sim.solver.max_pairs)
+        cached = checkpoint.load_aux_pytree(path + ".cache", fresh)
+        self._cache = jax.device_put(cached) if cached is not None else fresh
+        return True
+
     def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):
         """One engine frame through the scheduler; returns (rgb, telemetry)."""
         from scx.state.scheduler import Phase

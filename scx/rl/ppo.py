@@ -80,6 +80,16 @@ def _update_epochs(params, opt_state, flat, apply, opt, cfg: PPOConfig,
 
     n_rows = flat["logp_old"].shape[0]
     mb_rows = n_rows // cfg.minibatches
+    if mb_rows < 1:
+        # trace-time shape error beats silent NaNs from empty-slice means
+        raise ValueError(
+            f"PPO minibatching: {n_rows} (local) rollout rows cannot fill "
+            f"{cfg.minibatches} minibatches — raise length/n_envs or lower "
+            "cfg.minibatches (note rows-per-shard = length * envs / mesh "
+            "lanes when sharded; the n_rows % minibatches remainder rows "
+            "are redrawn each epoch by the permutation, never trained on "
+            "twice within one)."
+        )
 
     def mb_body(carry, idx):
         params, opt_state = carry
@@ -127,23 +137,32 @@ def make_ppo_train_step(
         CityRLEnv.make_trajectory_rollout).
       apply: `(params, store) -> (logp, value, entropy)` — the update-phase
         recomputation on stored rows.
-      length: rollout horizon per train step (keep length * n_envs under
-        the launch watchdog budget, CLAUDE.md quirk 9).
+      length: rollout horizon per train step. ONE train step is ONE XLA
+        launch containing the rollout PLUS epochs x minibatches full-batch
+        grad passes — against the ~60 s launch watchdog (CLAUDE.md quirk
+        9) budget roughly length * n_envs * (1 + epochs) engine-step
+        equivalents, not just the rollout; there is no AdaptiveChunker on
+        this path, so size the horizon conservatively and loop on the
+        host.
       opt: an optax GradientTransformation.
-      mesh: optional jax.sharding.Mesh — envs shard over its 'dp' axis,
-        params replicate, gradients pmean (scx.parallel.mesh.make_mesh).
+      mesh: optional jax.sharding.Mesh — envs shard over ALL mesh axes
+        (flattened), params replicate, gradients/whitening moments pmean
+        across every lane, so no device idles regardless of the mesh's
+        dp/sp split (scx.parallel.mesh.make_mesh). n_envs must divide the
+        device count.
 
     Returns (train_step, place):
       train_step(params, opt_state, batch, cache, key) ->
           (params, opt_state, batch, cache, metrics)
-      place(tree): shards an env pytree onto the mesh ('dp'); identity
-      when mesh is None.
+      place(tree): shards an env pytree onto the mesh; identity when mesh
+      is None.
     """
     rollout = env.make_trajectory_rollout(actor_critic, length)
 
     def local(params, opt_state, batch, cache, key, axis):
         if axis is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            for name in (axis if isinstance(axis, tuple) else (axis,)):
+                key = jax.random.fold_in(key, jax.lax.axis_index(name))
         k_roll, k_upd = jax.random.split(key)
         batch, cache, traj = rollout(batch, cache, params, k_roll)
         adv, ret = gae(
@@ -181,15 +200,25 @@ def make_ppo_train_step(
         return train_step, lambda tree: tree
 
     from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from scx.parallel.mesh import shard_env_batch
-
+    # flatten every mesh axis onto the env dim: a ('dp','sp') mesh would
+    # otherwise replicate the whole rollout+update on each 'sp' lane
+    axes = tuple(mesh.axis_names)
+    env_spec = P(axes)
     sharded = shard_map(
-        partial(local, axis="dp"),
+        partial(local, axis=axes),
         mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P("dp"), P()),
-        out_specs=(P(), P(), P("dp"), P("dp"), P()),
+        in_specs=(P(), P(), env_spec, env_spec, P()),
+        out_specs=(P(), P(), env_spec, env_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded), lambda tree: shard_env_batch(tree, mesh)
+
+    def place(tree):
+        def put(x):
+            spec = P(axes, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return jax.tree.map(put, tree)
+
+    return jax.jit(sharded), place

@@ -162,6 +162,69 @@ class LaneGraphBuilder:
                 prev = n1
         self.sector_segments[coord] = segs
 
+    def to_snapshot(self) -> dict:
+        """JSON-able snapshot of the WHOLE graph, deactivated segments
+        included. Save-games must restore the graph verbatim rather than
+        rebuild it per active sector: device state carries lane_id columns
+        that index self.segments, and an incremental rebuild in a
+        different activation order (or without since-unloaded sectors'
+        segments occupying their indices) would silently remap them."""
+        return {
+            "nodes": [
+                {
+                    "pos": list(n["pos"]),
+                    "dir": list(n["dir"]),
+                    "speed": float(n["speed"]),
+                    "conn": [int(c) for c in n["conn"]],
+                }
+                for n in self.nodes
+            ],
+            "segments": [
+                {
+                    "start": int(s["start"]),
+                    "end": int(s["end"]),
+                    "dir": list(s["dir"]),
+                    "length": float(s["length"]),
+                    "owner": list(s["owner"]) if s["owner"] else None,
+                    "active": bool(s["active"]),
+                }
+                for s in self.segments
+            ],
+            "lookup": [[list(k), int(v)] for k, v in self._lookup.items()],
+            "sector_segments": [
+                [list(c), [int(i) for i in ids]]
+                for c, ids in self.sector_segments.items()
+            ],
+        }
+
+    def from_snapshot(self, snap: dict) -> None:
+        """Inverse of to_snapshot — indices are preserved exactly."""
+        self.nodes = [
+            {
+                "pos": tuple(n["pos"]),
+                "dir": tuple(n["dir"]),
+                "speed": n["speed"],
+                "conn": list(n["conn"]),
+            }
+            for n in snap["nodes"]
+        ]
+        self.segments = [
+            {
+                "start": s["start"],
+                "end": s["end"],
+                "dir": tuple(s["dir"]),
+                "length": s["length"],
+                "owner": tuple(s["owner"]) if s["owner"] else None,
+                "active": s["active"],
+            }
+            for s in snap["segments"]
+        ]
+        self._lookup = {tuple(k): v for k, v in snap["lookup"]}
+        self.sector_segments = {
+            tuple(c): list(ids) for c, ids in snap["sector_segments"]
+        }
+        self.dirty = True
+
     def remove_sector(self, coord: tuple):
         """Deactivate (not delete) the sector's segments (:227-237)."""
         for s in self.sector_segments.get(coord, []):

@@ -140,6 +140,66 @@ class WorldPartition:
         self.pinned.clear()
 
     # ------------------------------------------------------------------
+    def restore(self, alive_mask, sector_records: list, free: list | None = None) -> None:
+        """Rebuild host bookkeeping from a save-game (Sandbox.load_game).
+
+        `sector_records` is a list of dicts — {"coord", "entity_slots",
+        "lanes", "spawners"} — in the ORIGINAL activation order; each
+        becomes an ACTIVE sector owning its entity slots. Everything else
+        returns to UNLOADED and will be re-requested by the normal state
+        machine. In-flight loads from before the restore are dropped: the
+        request-id watermark advances past them, so late completions fail
+        the staleness check exactly like a re-queued sector's would
+        (sc_world_partition.cpp:854-858 semantics).
+        """
+        import scx.world.format as wf
+
+        self._alive = np.asarray(alive_mask, bool).copy()
+        if free is not None and sorted(free) == sorted(
+            i for i in range(self.capacity) if not self._alive[i]
+        ):
+            # the save's verbatim free-list ORDER: slot allocation order
+            # decides where future spawns land, so a resumed run only
+            # replays the uninterrupted one bit-exactly with it preserved
+            self._free = [int(i) for i in free]
+        else:
+            self._free = [
+                i for i in range(self.capacity - 1, -1, -1)
+                if not self._alive[i]
+            ]
+        self.sectors = {}
+        self.authored_lanes = {}
+        self.authored_spawners = {}
+        self._despawn_queue = []
+        self._next_request += 1_000_000  # watermark: orphan any in-flight
+        while not self._completed.empty():
+            try:
+                self._completed.get_nowait()
+            except queue.Empty:
+                break
+        self._in_flight = 0
+        self._futures = []
+        for rec in sector_records:
+            coord = tuple(rec["coord"])
+            sec = _Sector(coord, state=SectorState.ACTIVE)
+            sec.entity_slots = [int(s) for s in rec["entity_slots"]]
+            sec.last_touched_frame = self.frame
+            self.sectors[coord] = sec
+            if rec.get("lanes"):
+                self.authored_lanes[coord] = [
+                    [tuple(p) for p in lane] for lane in rec["lanes"]
+                ]
+            if rec.get("spawners"):
+                self.authored_spawners[coord] = [
+                    wf.Spawner(
+                        id=int(s["id"]),
+                        transform=wf.Transform(position=tuple(s["pos"])),
+                        type=int(s["type"]),
+                        rate=float(s["rate"]),
+                    )
+                    for s in rec["spawners"]
+                ]
+
     def _load_job(self, coord: tuple, request_id: int):
         """Worker thread: sector file or procedural fallback
         (sc_world_partition.cpp:821-835). Authored files also carry collider

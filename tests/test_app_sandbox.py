@@ -145,3 +145,93 @@ def test_state_health_monitor_flags_nan(sandbox):
             )
         ),
     )
+
+
+def _leaf_dict(state):
+    leaves = {}
+
+    def visit(prefix, node):
+        if hasattr(node, "__dataclass_fields__"):
+            for name in node.__dataclass_fields__:
+                visit(f"{prefix}{name}.", getattr(node, name))
+        else:
+            leaves[prefix[:-1]] = np.asarray(node)
+
+    visit("", state)
+    return leaves
+
+
+@pytest.mark.slow
+def test_save_load_resume_bitwise(tmp_path):
+    """Runtime save-game (beyond-parity: the reference persists only
+    authored sector files, SURVEY §5.4): with streaming quiescent at save
+    time, a loaded game replays the uninterrupted run BIT-IDENTICALLY —
+    device state, warm-start cache, lane graph indices, slot free-list
+    order and host despawn remnants all round-trip."""
+    import time as _t
+
+    def mk():
+        return Sandbox(
+            capacity=512,
+            raster=RasterParams(
+                width=64, height=32, tile_h=16, tile_w=64,
+                max_tris=4096, max_tris_per_tile=64, interpret=True,
+            ),
+        )
+
+    from scx.world.streaming import SectorState
+
+    sb1 = mk()
+    # settle streaming: all desired sectors active, nothing in flight
+    for _ in range(40):
+        sb1.frame(player_input=(0.0, 0.0, 0.0, 0.0))
+        _t.sleep(0.01)
+        quiet = sb1.partition._in_flight == 0 and all(
+            s.state in (SectorState.ACTIVE, SectorState.UNLOADED)
+            for s in sb1.partition.sectors.values()
+        )
+        if quiet and sb1.frame_no > 25:
+            break
+    assert sb1.partition._in_flight == 0
+
+    path = str(tmp_path / "savegame")
+    assert sb1.save_game(path)
+
+    drive = (0.7, 0.0, 0.15, 0.0)
+    for _ in range(4):
+        sb1.frame(player_input=drive)
+
+    sb2 = mk()
+    assert sb2.load_game(path)
+    for _ in range(4):
+        sb2.frame(player_input=drive)
+
+    a, b = _leaf_dict(sb1.state), _leaf_dict(sb2.state)
+    assert a.keys() == b.keys()
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    # host bookkeeping converged too
+    assert sb1.partition._free == sb2.partition._free
+    assert sorted(sb1.partition.sectors) == sorted(sb2.partition.sectors)
+    if sb1.spawner is not None:
+        assert sb1.spawner.sector_agents == sb2.spawner.sector_agents
+    sb1.shutdown()
+    sb2.shutdown()
+
+
+def test_load_game_rejects_bad_saves(tmp_path):
+    sb = Sandbox(
+        capacity=256,
+        raster=RasterParams(
+            width=64, height=32, tile_h=16, tile_w=64,
+            max_tris=4096, max_tris_per_tile=64, interpret=True,
+        ),
+        with_traffic=False,
+    )
+    assert not sb.load_game(str(tmp_path / "missing"))
+    # an RL-env style checkpoint without the sandbox extra is refused
+    from scx.app import checkpoint
+
+    checkpoint.save_checkpoint(str(tmp_path / "plain"), sb.state, {})
+    assert not sb.load_game(str(tmp_path / "plain"))
+    sb.shutdown()

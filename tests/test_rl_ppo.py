@@ -183,8 +183,9 @@ def test_ppo_train_step_sharded():
         env, actor_critic, ac_apply, 4, opt, cfg, mesh=mesh
     )
     batch, cache = place(env.state), place(env.cache)
+    # envs shard over ALL mesh axes (no idle 'sp' lanes)
     spec = batch.alive.sharding.spec
-    assert spec and spec[0] == "dp"
+    assert spec and spec[0] == ("dp", "sp")
 
     p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
     params, opt_state, batch, cache, metrics = train_step(
@@ -193,6 +194,6 @@ def test_ppo_train_step_sharded():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert float(np.abs(np.asarray(params["conv1"]) - p0["conv1"]).max()) > 0
-    # state stayed sharded over 'dp' through the step
+    # state stayed sharded through the step
     spec = batch.alive.sharding.spec
-    assert spec and spec[0] == "dp"
+    assert spec and spec[0] == ("dp", "sp")
