@@ -346,6 +346,22 @@ def setup_triangles(
     live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
     mat_ids = grow(drows[:, 2]).astype(draws.material_id.dtype)
 
+    return setup_from_clip_cols(cx, cy, cz, cw, attrs, live, mat_ids, params)
+
+
+def setup_from_clip_cols(cx, cy, cz, cw, attrs, live, mat_ids, params):
+    """Clip-space columns -> the [T, N_FIELDS] plane-setup buffer.
+
+    The back half of setup_triangles, callable directly by any geometry
+    source that already has clip-space vertex columns (cx/cy/cz/cw:
+    [3][T] per-vertex lists, attrs: [3][5][T] r,g,b,u,v, live: [T] bool,
+    mat_ids: [T] i32) — e.g. pre-baked world-space geometry projected by
+    one viewProj multiply. Columns must already include the
+    effective_clip_extra tail reserve (zeros, cw fill -1).
+    """
+    pad = params.effective_clip_extra
+    t = params.max_tris
+
     # clip at (just inside) the real near plane so clipped vertices have
     # w ~ near_z and bounded screen coordinates (f32 edge functions lose the
     # depth test on +-100k-pixel triangles)
