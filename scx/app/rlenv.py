@@ -92,6 +92,17 @@ class CityRLEnv:
         # handful of ground/nearby tris; the full 2048 default costs two
         # [E, extra]-row recovery gathers per step at fleet sizes
         obs_clip_extra: int = 512,
+        # bake static props to world-space triangle columns at reset
+        # (scx.render.staticbake): per-step setup for scenery becomes one
+        # viewProj projection, per-entity culling runs only over the
+        # dynamic handful, and the binned width shrinks to the ACTUAL
+        # static triangle count instead of capacity x worst mesh.
+        # Opt-in until measured on chip. Note: make_policy_rollout /
+        # make_trajectory_rollout capture the baked columns as a closure
+        # const, which shard_map replicates — use rollout_sharded (which
+        # shards them) for multi-chip; sharded TRAINING with static_bake
+        # needs the baked arg threaded and is not yet supported.
+        static_bake: bool = False,
     ):
         self.n_envs = n_envs
         self.capacity = capacity
@@ -165,9 +176,44 @@ class CityRLEnv:
         self._rollout_jit = None
         self._rollout_sharded_jit = None
         self._rollout_sharded_key = None
+        self.static_bake = static_bake
         self.state = self._build_batch()
+        self.baked = self._bake_static() if static_bake else None
         self.cache = self._build_cache()
         self.last_info = {"nan_rollbacks": 0, "pair_overflow": 0}
+
+    def _bake_static(self):
+        """Bake per-env static triangle columns + size the split raster
+        params (static / dynamic / combined bin) — see scx.render.staticbake.
+        """
+        from scx.render import staticbake as sb
+
+        # exact static triangle demand, max over envs (one tiny host sync
+        # at reset), rounded to the 128-lane grid
+        totals = jax.jit(
+            jax.vmap(lambda s: sb.static_tri_total(s, self.pool))
+        )(self.state)
+        t_s = max(128, -(-int(jnp.max(totals)) // 128) * 128)
+        pad_s = min(self.raster.clip_extra, t_s // 4)
+        self._params_static = self.raster.replace(
+            max_tris=t_s + pad_s, clip_extra=pad_s
+        )
+        # dynamic handful: traffic + player (+margin), worst-case pool mesh
+        tris_per_draw = int(np.asarray(self.pool.mesh_tri_count).max())
+        self._dyn_budget = self.n_traffic + 5
+        t_d = -(-int(self._dyn_budget * tris_per_draw * 1.2) // 128) * 128
+        pad_d = min(128, t_d // 4)
+        self._params_dyn = self.raster.replace(
+            max_tris=t_d + pad_d, clip_extra=pad_d
+        )
+        self._params_bin = self.raster.replace(
+            max_tris=t_s + pad_s + t_d + pad_d
+        )
+        return jax.jit(
+            jax.vmap(
+                lambda s: sb.bake_static_tris(s, self.pool, t_s)
+            )
+        )(self.state)
 
     def _build_cache(self):
         """Per-env contact warm-start caches (zeros)."""
@@ -316,8 +362,10 @@ class CityRLEnv:
         return jax.jit(merge)(batch)
 
     # ------------------------------------------------------------------
-    def _render_one(self, state):
-        """Chase-view RGB-D for one env (camera behind the player)."""
+    def _camera_vp(self, state):
+        """Chase-view viewProj for one env (camera behind the player)."""
+        from scx.render.camera import camera_view_proj
+
         ppos = state.transform.pos[self.player]
         prot = state.transform.rot[self.player]
         fwd = m3.quat_rotate(prot, jnp.asarray([0.0, 0.0, 1.0]))
@@ -325,23 +373,48 @@ class CityRLEnv:
             fwd * jnp.asarray([1.0, 0.0, 1.0]), jnp.asarray([0.0, 0.0, 1.0])
         )
         cam_pos = ppos - fwd * 7.0 + jnp.asarray([0.0, 3.0, 0.0])
-        # look-at via pose: build quaternion-free viewProj
-        from scx.render.camera import camera_view_proj
-
-        vp = camera_view_proj(
+        return camera_view_proj(
             cam_pos,
             ppos + jnp.asarray([0.0, 1.0, 0.0]),
             jnp.asarray([0.0, 1.0, 0.0]),
             aspect=1.0,
             params=CameraParams(fov_y_deg=70.0),
         )
+
+    def _render_one(self, state):
+        """Per-env triangle setup, full path (cull + emit + setup)."""
+        vp = self._camera_vp(state)
         visible, mats = cull_entities(state, vp)
         # max_tris was right-sized for the draw budget x worst pool mesh,
         # so no headroom is wasted (budget defaults to the capacity)
         draws = emit_draws(state, visible, mats, self.draw_budget)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
-    def _render_obs_batched(self, batch):
+    def _render_one_baked(self, state, baked):
+        """Per-env triangle setup, static-bake path: scenery projects from
+        baked world-space columns (one viewProj multiply); only the dynamic
+        handful (traffic + player) goes through cull/emit/setup. Triangle
+        order (statics in slot order, then dynamics) matches _render_one's
+        draw order, so binned output is identical up to fp association."""
+        from scx.render import staticbake as sb
+
+        vp = self._camera_vp(state)
+        s_setup, s_aabb, s_valid = sb.setup_static_from_bake(
+            baked, vp, self._params_static
+        )
+        visible, mats = cull_entities(state, vp)
+        dyn = visible & ~sb.static_entity_mask(state)
+        draws = emit_draws(state, dyn, mats, self._dyn_budget)
+        d_setup, d_aabb, d_valid = setup_triangles(
+            draws, self.pool, vp, self._params_dyn
+        )
+        return (
+            jnp.concatenate([s_setup, d_setup], axis=0),
+            jnp.concatenate([s_aabb, d_aabb], axis=0),
+            jnp.concatenate([s_valid, d_valid], axis=0),
+        )
+
+    def _render_obs_batched(self, batch, baked=None):
         """RGB-D observations [N,H,W,4] for the whole batch.
 
         Binning happens OUTSIDE the per-env vmap: its rank-recovery scatter
@@ -351,11 +424,16 @@ class CityRLEnv:
         """
         from scx.render.pipeline import raster_gbuffer_batched
 
-        setup, aabb, valid = jax.vmap(self._render_one)(batch)
-        g, _rstats = raster_gbuffer_batched(setup, aabb, valid, self.raster)
+        if baked is not None:
+            setup, aabb, valid = jax.vmap(self._render_one_baked)(batch, baked)
+            params = self._params_bin
+        else:
+            setup, aabb, valid = jax.vmap(self._render_one)(batch)
+            params = self.raster
+        g, _rstats = raster_gbuffer_batched(setup, aabb, valid, params)
         return jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
 
-    def _step_impl(self, batch, cache, actions):
+    def _step_impl(self, batch, cache, actions, baked=None):
         def env_step(state, c, action):
             state, c, _, counts = self._tick(
                 state, c, self.lanes, self.player, action, jnp.int32(self.substeps)
@@ -386,7 +464,7 @@ class CityRLEnv:
             "nan_rollbacks": jnp.sum((~ok).astype(jnp.int32)),
             "pair_overflow": jnp.max(overflow),
         }
-        obs = self._render_obs_batched(batch)
+        obs = self._render_obs_batched(batch, baked)
         # reward: forward progress of the player (m per step)
         fwd_speed = jax.vmap(
             lambda s: m3.dot(
@@ -402,6 +480,8 @@ class CityRLEnv:
     # ------------------------------------------------------------------
     def reset(self):
         self.state = self._build_batch()
+        if self.static_bake:
+            self.baked = self._bake_static()
         self.cache = self._build_cache()
         obs = np.zeros(
             (self.n_envs, self.raster.height, self.raster.width, 4), np.float32
@@ -411,15 +491,16 @@ class CityRLEnv:
     def step(self, actions):
         """actions [N,4] -> (obs [N,H,W,4], reward [N])."""
         self.state, self.cache, obs, reward, info = self._step_jit(
-            self.state, self.cache, jnp.asarray(actions, jnp.float32)
+            self.state, self.cache, jnp.asarray(actions, jnp.float32),
+            self.baked if self.static_bake else None,
         )
         self.last_info = {k: int(v) for k, v in info.items()}
         return obs, reward
 
-    def _rollout_impl(self, batch, cache, actions, length):
+    def _rollout_impl(self, batch, cache, actions, length, baked=None):
         def body(carry, _):
             b, c, nans = carry
-            b, c, obs, rew, info = self._step_impl(b, c, actions)
+            b, c, obs, rew, info = self._step_impl(b, c, actions, baked)
             # obs consumed on device (policy stand-in): per-env mean pool
             return (b, c, nans + info["nan_rollbacks"]), (
                 jnp.mean(obs, axis=(1, 2, 3)),
@@ -455,14 +536,16 @@ class CityRLEnv:
         the pure-fn shape makes that loop a natural optimizer step.
         """
 
+        baked = self.baked  # device-array const when static_bake is on
+
         def fn(batch, cache, params, key):
-            obs0 = self._render_obs_batched(batch)
+            obs0 = self._render_obs_batched(batch, baked)
 
             def body(carry, k):
                 b, c, obs = carry
                 actions, logp = policy(params, obs, k)
                 b, c, obs2, rew, _info = self._step_impl(
-                    b, c, jax.lax.stop_gradient(actions)
+                    b, c, jax.lax.stop_gradient(actions), baked
                 )
                 return (b, c, obs2), (rew, logp, jnp.mean(obs2, axis=(1, 2, 3)))
 
@@ -499,14 +582,16 @@ class CityRLEnv:
         quirk 9) and loop on the host for longer collection horizons.
         """
 
+        baked = self.baked  # device-array const when static_bake is on
+
         def fn(batch, cache, params, key):
-            obs0 = self._render_obs_batched(batch)
+            obs0 = self._render_obs_batched(batch, baked)
 
             def body(carry, k):
                 b, c, obs = carry
                 actions, logp, value, store = actor_critic(params, obs, k)
                 b, c, obs2, rew, _info = self._step_impl(
-                    b, c, jax.lax.stop_gradient(actions)
+                    b, c, jax.lax.stop_gradient(actions), baked
                 )
                 return (b, c, obs2), (store, logp, value, rew)
 
@@ -570,7 +655,7 @@ class CityRLEnv:
             first_compile = step_n not in self._launched_lengths
             t0 = _time.perf_counter()
             self.state, self.cache, nans, aux = self._rollout_jit(
-                self.state, self.cache, actions, step_n
+                self.state, self.cache, actions, step_n, self.baked
             )
             done += step_n
             self._launched_lengths.add(step_n)
@@ -620,9 +705,9 @@ class CityRLEnv:
             raise ValueError(f"n_envs {self.n_envs} not divisible by dp={dp}")
         key = (length, mesh)
         if self._rollout_sharded_key != key:
-            def local(batch, cache, acts):
+            def local(batch, cache, acts, baked):
                 batch, cache, nans, (obs_means, rewards) = self._rollout_impl(
-                    batch, cache, acts, length
+                    batch, cache, acts, length, baked
                 )
                 stats = {
                     "alive": jnp.sum(batch.alive.astype(jnp.int32)),
@@ -638,7 +723,7 @@ class CityRLEnv:
             fn = shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P("dp")),
+                in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
                 out_specs=(P("dp"), P("dp"), (P(None, "dp"), P(None, "dp")), P()),
                 check_vma=False,
             )
@@ -646,10 +731,12 @@ class CityRLEnv:
             self._rollout_sharded_key = key
         self.state = shard_env_batch(self.state, mesh)
         self.cache = shard_env_batch(self.cache, mesh)
+        if self.baked is not None:
+            self.baked = shard_env_batch(self.baked, mesh)
         acts = jax.device_put(
             jnp.asarray(actions, jnp.float32), NamedSharding(mesh, P("dp"))
         )
         self.state, self.cache, aux, stats = self._rollout_sharded_jit(
-            self.state, self.cache, acts
+            self.state, self.cache, acts, self.baked
         )
         return aux, stats
