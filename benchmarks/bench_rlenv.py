@@ -26,14 +26,19 @@ def main():
     # BASELINE config #5 default scale: 4096 envs x 128x128 RGB-D
     n_envs = int(os.environ.get("RL_ENVS", "4096"))
     obs_size = int(os.environ.get("RL_OBS", "128"))
+    static_bake = os.environ.get("RL_STATIC_BAKE", "0") == "1"
     from scx.app.rlenv import CityRLEnv
 
     t0 = time.time()
     env = CityRLEnv(
         n_envs=n_envs, capacity=160, obs_size=obs_size, n_traffic=8,
-        interpret=False,
+        interpret=False, static_bake=static_bake,
     )
-    print(f"built {n_envs} envs in {time.time()-t0:.1f}s", flush=True)
+    print(
+        f"built {n_envs} envs in {time.time()-t0:.1f}s"
+        + (" (static bake)" if static_bake else ""),
+        flush=True,
+    )
 
     fast = os.environ.get("SCX_BENCH_FAST", "0") == "1"  # driver budget mode
     actions = np.tile(np.asarray([[0.7, 0.0, 0.1, 0.0]], np.float32), (n_envs, 1))

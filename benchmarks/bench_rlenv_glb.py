@@ -54,6 +54,9 @@ def main():
         # 16-row tiles: an 8-tile lattice keeps per-tile cluster lists
         # tight (64-row tiles = 2 giant tiles = no binning at all)
         obs_tile_h=int(os.environ.get("OBS_TILE", "16")),
+        # NOTE: bake renders ALL statics (no draw-budget drop), so images
+        # can differ from the budgeted path when visible > DRAWS
+        static_bake=os.environ.get("RL_STATIC_BAKE", "0") == "1",
     )
     print(
         f"built {envs} envs (cap {capacity}, {len(slots)} GLB buildings, "
