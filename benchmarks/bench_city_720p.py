@@ -35,7 +35,22 @@ tex = pipe.MipTextures(quads=jnp.asarray(texmod.build_mip_quads(base))[None], si
 
 # the frame is ONE fused jit of the public API (separate stage jits pay a
 # per-call dispatch tax through the tunnel and block cross-stage fusion)
-framef = jax.jit(lambda d: pipe.render_frame(d, pool, vp, params, mats, tex))
+BAKE = os.environ.get("STATIC_BAKE", "0") == "1"
+if BAKE:
+    from scx.render import staticbake as sb
+    t_s = -(-len(tris) // 128) * 128
+    baked = jax.jit(lambda d: sb.bake_draws(d, pool, t_s, morton=False))(draws)
+    no_dyn = rd.DrawList(mesh_id=jnp.zeros((1,), jnp.int32),
+                         material_id=jnp.zeros((1,), jnp.int32),
+                         model=jnp.eye(4)[None], valid=jnp.zeros((1,), bool))
+    dyn_params = params.replace(max_tris=64, clip_extra=32)
+    def _frame(vpi):
+        return pipe.render_frame_baked(baked, no_dyn, pool, vpi, params,
+                                       dyn_params, mats, tex)
+else:
+    def _frame(vpi):
+        return pipe.render_frame(draws, pool, vpi, params, mats, tex)
+framef = jax.jit(lambda d: _frame(vp))
 
 FAST = os.environ.get("SCX_BENCH_FAST", "0") == "1"  # driver budget mode
 
@@ -61,7 +76,7 @@ def chain(n):
         eye = jnp.asarray([7.0, 2.5, 4.0]) + jnp.asarray([1e-3, 0., 0.]) * i
         vpi = rd.camera_view_proj(eye, jnp.asarray([7.0, 2.0, -60.0]),
                                   jnp.asarray([0.0, 1.0, 0.0]), aspect=1280/720)
-        r, _, _ = pipe.render_frame(draws, pool, vpi, params, mats, tex)
+        r, _, _ = _frame(vpi)
         return c + r[::64, ::64].sum(), None
     return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
 chainf = jax.jit(chain, static_argnums=0)

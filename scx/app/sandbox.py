@@ -221,6 +221,11 @@ class Sandbox:
         raster: RasterParams | None = None,
         world_root: str | None = None,
         with_traffic: bool = True,
+        # bake streamed static props to world-space triangle columns
+        # (scx.render.staticbake), rebaked only on streaming activity;
+        # per-frame geometry setup then covers just the dynamic handful.
+        # Opt-in until measured on chip.
+        static_bake: bool = False,
     ):
         self.cfg = cfg or EngineConfig()
         self.raster = raster or RasterParams(
@@ -286,6 +291,20 @@ class Sandbox:
         self._cache = empty_contact_cache(self.sim.solver.max_pairs)
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
         self._render = jax.jit(self._render_impl)
+        self.static_bake = static_bake
+        self._baked = None
+        self._bake_dirty = True
+        self._bake_tris = 0
+        self._bake_fns: dict = {}
+        if static_bake:
+            # dynamic handful: traffic fleet + player + demo bodies; tris
+            # beyond the cap drop with the budget semantics of the unbaked
+            # path's max_tris (counted in tris_in, reference maxDraws)
+            self._dyn_budget = self.cfg.traffic.max_vehicles_total + 16
+            self._dyn_params = self.raster.replace(
+                max_tris=16384, clip_extra=512
+            )
+            self._render_baked = jax.jit(self._render_baked_impl)
         from scx.render.debug_draw import DebugDraw, overlay_lines
 
         self.debug = DebugDraw(capacity=2048)
@@ -369,6 +388,55 @@ class Sandbox:
         stats["visible"] = jnp.sum(visible.astype(jnp.int32))
         return rgb, stats, gbuf["depth"], vp
 
+    def _render_baked_impl(
+        self, state, baked, cam_pos, cam_target, fov_deg, materials, textures
+    ):
+        """Static-bake render: scenery projects from pre-baked world-space
+        columns (Morton-ordered at bake time for cluster locality); only
+        the dynamic entities go through cull/emit/setup each frame."""
+        from scx.render import staticbake as sbk
+        from scx.render.pipeline import render_frame_baked
+
+        vp = camera_view_proj(
+            cam_pos,
+            cam_target,
+            jnp.asarray([0.0, 1.0, 0.0]),
+            aspect=self.raster.width / self.raster.height,
+            params=CameraParams(fov_y_deg=self.cfg.render.fov_y_deg),
+            fov_y_deg=fov_deg,
+        )
+        visible, mats = cull_entities(state, vp)
+        dyn = visible & ~sbk.static_entity_mask(state)
+        draws = emit_draws(state, dyn, mats, self._dyn_budget)
+        rgb, gbuf, stats = render_frame_baked(
+            baked, draws, self.mesh_pool, vp, self.raster,
+            self._dyn_params, materials, textures,
+        )
+        stats["visible"] = jnp.sum(visible.astype(jnp.int32))
+        return rgb, stats, gbuf["depth"], vp
+
+    def _rebake_static(self):
+        """Re-bake after streaming changed the static set. The baked width
+        grows in 4096-tri buckets so shape churn (= recompiles) only
+        happens when the streamed world outgrows the current bucket."""
+        from scx.render import staticbake as sbk
+
+        total = int(
+            jax.jit(lambda s: sbk.static_tri_total(s, self.mesh_pool))(
+                self.state
+            )
+        )
+        bucket = max(4096, -(-total // 4096) * 4096)
+        self._bake_tris = bucket
+        if bucket not in self._bake_fns:
+            self._bake_fns[bucket] = jax.jit(
+                lambda s: sbk.bake_static_tris(
+                    s, self.mesh_pool, bucket, morton=True
+                )
+            )
+        self._baked = self._bake_fns[bucket](self.state)
+        self._bake_dirty = False
+
     # --- systems (reference names; run by the scheduler) ----------------
     def _sys_player_input(self, ctx):
         self._frame_input = jnp.asarray(ctx["player_input"], jnp.float32)
@@ -394,6 +462,11 @@ class Sandbox:
         self.state = self.partition.update(
             self.state, cam_np, np.asarray([0.0, 0.0, 1.0])
         )
+        if (
+            self.partition.stats.activations_this_frame
+            or self.partition.stats.despawns_this_frame
+        ):
+            self._bake_dirty = True  # static set changed -> rebake lazily
         self.telemetry.current.stream_ms += (time.perf_counter() - t0) * 1e3
 
     def _sys_traffic_spawner(self, ctx):
@@ -440,16 +513,27 @@ class Sandbox:
 
     def _sys_render(self, ctx):
         t0 = time.perf_counter()
-        self._frame_rgb, self._render_stats, depth, vp = self._render(
-            self.state,
-            self.cam_pos,
-            self._cam_target,
-            self._cam_fov,
-            self.assets.device_materials(),
+        textures = (
             self.assets.device_pool_mips()
             if self.cfg.render.use_mips
-            else self.assets.device_pool(),
+            else self.assets.device_pool()
         )
+        if self.static_bake:
+            if self._bake_dirty:
+                self._rebake_static()
+            self._frame_rgb, self._render_stats, depth, vp = self._render_baked(
+                self.state, self._baked, self.cam_pos, self._cam_target,
+                self._cam_fov, self.assets.device_materials(), textures,
+            )
+        else:
+            self._frame_rgb, self._render_stats, depth, vp = self._render(
+                self.state,
+                self.cam_pos,
+                self._cam_target,
+                self._cam_fov,
+                self.assets.device_materials(),
+                textures,
+            )
         # immediate-mode debug lines accumulated since last frame
         # (DebugDrawSystem runs after the scene pass, sc_imgui.cpp overlay)
         if self.debug.count:
@@ -660,6 +744,7 @@ class Sandbox:
         fresh = empty_contact_cache(self.sim.solver.max_pairs)
         cached = checkpoint.load_aux_pytree(path + ".cache", fresh)
         self._cache = jax.device_put(cached) if cached is not None else fresh
+        self._bake_dirty = True  # restored static set needs a fresh bake
         return True
 
     def frame(self, frame_dt: float = 1.0 / 60.0, player_input=(0.0, 0.0, 0.0, 0.0)):

@@ -733,6 +733,50 @@ def render_frame(
     return _raster_and_shade(setup, aabb, valid, params, materials, textures)
 
 
+def render_frame_baked(
+    baked,
+    dyn_draws: DrawList,
+    pool: MeshPool,
+    view_proj,
+    params: RasterParams,
+    dyn_params: RasterParams,
+    materials: Materials | None = None,
+    textures=None,
+):
+    """Full frame from pre-baked static geometry + a dynamic DrawList.
+
+    `baked` is scx.render.staticbake world-space columns ([26, T_s],
+    Morton-ordered at bake time so cluster meshlets stay spatially tight
+    without the per-frame screen-space draw sort); statics project by ONE
+    viewProj multiply, only `dyn_draws` (vehicles, traffic, movers) pays
+    the full gather+transform setup. `params` is the frame's RasterParams
+    (its max_tris is overridden by the combined width); `dyn_params`
+    sizes the dynamic setup buffer.
+    """
+    from scx.render import staticbake as sb
+
+    # cluster grouping reshapes by 32 (raster_clusters.CLUSTER): keep every
+    # concatenated component 32-aligned
+    pad_s = (min(params.clip_extra, baked.shape[1] // 4) // 32) * 32
+    assert baked.shape[1] % 32 == 0 and dyn_params.max_tris % 32 == 0
+    params_static = params.replace(
+        max_tris=baked.shape[1] + pad_s, clip_extra=pad_s
+    )
+    s_setup, s_aabb, s_valid = sb.setup_static_from_bake(
+        baked, view_proj, params_static
+    )
+    if params.use_clusters and params.sort_draws:
+        dyn_draws = sort_draws_spatial(dyn_draws, view_proj, dyn_params)
+    d_setup, d_aabb, d_valid = setup_triangles(
+        dyn_draws, pool, view_proj, dyn_params
+    )
+    setup = jnp.concatenate([s_setup, d_setup], axis=0)
+    aabb = jnp.concatenate([s_aabb, d_aabb], axis=0)
+    valid = jnp.concatenate([s_valid, d_valid], axis=0)
+    frame = params.replace(max_tris=setup.shape[0])
+    return _raster_and_shade(setup, aabb, valid, frame, materials, textures)
+
+
 # column indices of the (b, c) pairs of every affine screen plane in the
 # setup buffer: value(x, y) = a*x + b*y + c  (lambda0/1, z, 1/w, rgb, uv)
 _PLANE_OFFSETS = (F_L0, F_L1, F_Z, F_IW, F_COL, F_COL + 3, F_COL + 6,

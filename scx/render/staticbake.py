@@ -13,15 +13,20 @@ Two further wins fall out:
     triangles fail the on_screen/z tests in setup (the same set an
     entity-sphere cull would drop, since every triangle of an off-screen
     entity is off-screen);
-  * the baked width is sized to the ACTUAL alive static triangles (a few
-    hundred) instead of draw_budget x worst-case mesh (thousands), which
-    shrinks every downstream binning/raster buffer.
+  * the baked width can be sized to the ACTUAL alive static triangles (a
+    few hundred in the RL env) instead of draw_budget x worst-case mesh,
+    which shrinks every downstream binning/raster buffer.
 
-Baked layout: one [26, T] f32 array per env (column-major — [T, 26] rows
+Baked layout: one [26, T] f32 array per scene (column-major — [T, 26] rows
 would tile-pad 26 -> 128 lanes, 5x memory):
   rows v*8+0..7 for vertex v in 0..2: wx, wy, wz, r, g, b, u, v
   row 24: material id (float; ids < 2^24 ride f32 exactly)
   row 25: live flag (1.0 / 0.0)
+
+For the cluster rasterizer (64-consecutive-triangle meshlets) the bake can
+Morton-order sources by world-space XZ once — camera-independent spatial
+locality replacing the per-frame screen-space draw sort
+(pipeline.sort_draws_spatial).
 
 The reference has no analogue (the GPU re-transforms every vertex every
 frame, sc_vk.cpp:1909 push-constant model matrix); on TPU the HBM read of
@@ -32,9 +37,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from scx.core import math3d as m3
 from scx.render.mesh import MeshPool
-from scx.render.pipeline import RasterParams, setup_from_clip_cols
+from scx.render.pipeline import DrawList, RasterParams, setup_from_clip_cols
 from scx.state.entity import EntityState
 from scx.world.culling import world_matrix_cols
 
@@ -55,18 +59,38 @@ def static_entity_mask(state: EntityState):
     )
 
 
-def bake_static_tris(state: EntityState, pool: MeshPool, max_tris: int):
-    """Expand + world-transform the static entities' triangles -> [26, T].
+def _interleave16(x):
+    """Spread the low 16 bits of x with a 0 between each (Morton helper)."""
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
 
-    Same two-row-gather expansion as pipeline.setup_triangles (slot order,
-    so triangle order matches the unbaked path's draw order), but the
-    transform stops at world space and the result is cached across steps.
-    Static triangles beyond `max_tris` are dropped (size it from
-    static_tri_total — it is exact, not a heuristic bound).
-    """
-    n = state.capacity
-    mask = static_entity_mask(state)
-    mid = jnp.maximum(state.render.mesh_id, 0)
+
+def _morton_xz_order(px, pz, mask):
+    """Slot order by world-space XZ Morton code (masked-out slots last).
+
+    Camera-independent cluster locality: 64-consecutive-triangle meshlets
+    stay spatially tight for ANY view, so the bake never needs the
+    per-frame screen-space draw sort."""
+    qx = jnp.clip((px + 2048.0) * 8.0, 0, 65535).astype(jnp.int32)
+    qz = jnp.clip((pz + 2048.0) * 8.0, 0, 65535).astype(jnp.int32)
+    key = _interleave16(qx) | (_interleave16(qz) << 1)
+    key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key)
+
+
+def _bake_core(mid, mat, cols, mask, pool: MeshPool, max_tris: int):
+    """Shared expansion + world transform -> [26, T] baked columns.
+
+    mid/mat: [N] mesh + material ids; cols: 12 affine world-matrix columns
+    ([N] each, world_matrix_cols layout); mask: [N] include flag. Source
+    order is the array order (pre-sort for Morton). Triangles beyond
+    `max_tris` drop."""
+    n = mid.shape[0]
+    mid = jnp.maximum(mid, 0)
     counts = jnp.where(mask, pool.mesh_tri_count[mid], 0)
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -76,12 +100,11 @@ def bake_static_tris(state: EntityState, pool: MeshPool, max_tris: int):
     marks = jnp.zeros(max_tris, jnp.int32).at[starts].add(1, mode="drop")
     draw_idx = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
 
-    cols = world_matrix_cols(state)  # 12 affine columns [N]
     per_draw = jnp.stack(
         [
             starts.astype(jnp.float32),
             pool.mesh_first_tri[mid].astype(jnp.float32),
-            state.render.material_id.astype(jnp.float32),
+            mat.astype(jnp.float32),
         ]
         + list(cols),
         axis=-1,
@@ -107,6 +130,49 @@ def bake_static_tris(state: EntityState, pool: MeshPool, max_tris: int):
     rows.append(drows[:, 2])  # material
     rows.append(live.astype(jnp.float32))
     return jnp.stack(rows, axis=0)  # [26, T]
+
+
+def bake_static_tris(
+    state: EntityState, pool: MeshPool, max_tris: int, morton: bool = False
+):
+    """Bake the static entities' triangles from entity state -> [26, T].
+
+    morton=False keeps slot order (matches the unbaked path's draw order,
+    so tie-breaks agree bit-for-bit in the tri binner); morton=True orders
+    sources by world XZ for cluster-path locality.
+    """
+    mask = static_entity_mask(state)
+    mid = state.render.mesh_id
+    mat = state.render.material_id
+    cols = world_matrix_cols(state)
+    if morton:
+        order = _morton_xz_order(
+            state.transform.pos[:, 0], state.transform.pos[:, 2], mask
+        )
+        mask = mask[order]
+        mid = mid[order]
+        mat = mat[order]
+        cols = tuple(c[order] for c in cols)
+    return _bake_core(mid, mat, cols, mask, pool, max_tris)
+
+
+def bake_draws(
+    draws: DrawList, pool: MeshPool, max_tris: int, morton: bool = True
+):
+    """Bake an explicit DrawList (editor documents, authored scenes,
+    benches) -> [26, T] world-space columns."""
+    mid = draws.mesh_id
+    mat = draws.material_id
+    model = draws.model
+    cols = tuple(model[:, i, j] for i in range(3) for j in range(4))
+    mask = draws.valid
+    if morton:
+        order = _morton_xz_order(model[:, 0, 3], model[:, 2, 3], mask)
+        mask = mask[order]
+        mid = mid[order]
+        mat = mat[order]
+        cols = tuple(c[order] for c in cols)
+    return _bake_core(mid, mat, cols, mask, pool, max_tris)
 
 
 def static_tri_total(state: EntityState, pool: MeshPool):
