@@ -557,7 +557,9 @@ class CityRLEnv:
 
         return fn
 
-    def make_trajectory_rollout(self, actor_critic, length: int):
+    def make_trajectory_rollout(
+        self, actor_critic, length: int, thread_baked: bool = False
+    ):
         """On-device trajectory collection for actor-critic methods (PPO).
 
         `actor_critic(params, obs [N,H,W,4], key) ->
@@ -580,11 +582,15 @@ class CityRLEnv:
         device launch — keep `length * n_envs` under
         MAX_ENVSTEPS_PER_LAUNCH (the ~60 s execution watchdog, CLAUDE.md
         quirk 9) and loop on the host for longer collection horizons.
+
+        thread_baked=True returns fn(batch, cache, params, key, baked)
+        instead, taking the static-bake columns as an explicit
+        (shardable) argument — required under shard_map, where a
+        closure-captured per-env array is replicated, not sharded
+        (scx.rl.make_ppo_train_step threads it automatically).
         """
 
-        baked = self.baked  # device-array const when static_bake is on
-
-        def fn(batch, cache, params, key):
+        def impl(batch, cache, params, key, baked):
             obs0 = self._render_obs_batched(batch, baked)
 
             def body(carry, k):
@@ -609,7 +615,12 @@ class CityRLEnv:
             }
             return batch, cache, jax.lax.stop_gradient(traj)
 
-        return fn
+        if thread_baked:
+            return impl
+        baked = self.baked  # device-array const when static_bake is on
+        return lambda batch, cache, params, key: impl(
+            batch, cache, params, key, baked
+        )
 
     # pre-measurement launch budget (env-steps): a single XLA execution
     # running for minutes trips device/transport watchdogs (a 4096-env x

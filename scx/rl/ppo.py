@@ -156,15 +156,25 @@ def make_ppo_train_step(
           (params, opt_state, batch, cache, metrics)
       place(tree): shards an env pytree onto the mesh; identity when mesh
       is None.
+      When the env uses static_bake AND a mesh is given, train_step takes
+      a trailing `baked` argument (pass place(env.baked)): the per-env
+      baked columns must be sharded explicitly — a closure capture would
+      replicate them across shards and break the per-shard vmap.
     """
-    rollout = env.make_trajectory_rollout(actor_critic, length)
+    thread_baked = mesh is not None and getattr(env, "baked", None) is not None
+    rollout = env.make_trajectory_rollout(
+        actor_critic, length, thread_baked=thread_baked
+    )
 
-    def local(params, opt_state, batch, cache, key, axis):
+    def local(params, opt_state, batch, cache, key, axis, baked=None):
         if axis is not None:
             for name in (axis if isinstance(axis, tuple) else (axis,)):
                 key = jax.random.fold_in(key, jax.lax.axis_index(name))
         k_roll, k_upd = jax.random.split(key)
-        batch, cache, traj = rollout(batch, cache, params, k_roll)
+        if thread_baked:
+            batch, cache, traj = rollout(batch, cache, params, k_roll, baked)
+        else:
+            batch, cache, traj = rollout(batch, cache, params, k_roll)
         adv, ret = gae(
             traj["reward"], traj["value"], traj["last_value"],
             cfg.gamma, cfg.lam,
@@ -206,13 +216,25 @@ def make_ppo_train_step(
     # otherwise replicate the whole rollout+update on each 'sp' lane
     axes = tuple(mesh.axis_names)
     env_spec = P(axes)
-    sharded = shard_map(
-        partial(local, axis=axes),
-        mesh=mesh,
-        in_specs=(P(), P(), env_spec, env_spec, P()),
-        out_specs=(P(), P(), env_spec, env_spec, P()),
-        check_vma=False,
-    )
+    if thread_baked:
+        def with_baked(params, opt_state, batch, cache, key, baked):
+            return local(params, opt_state, batch, cache, key, axes, baked)
+
+        sharded = shard_map(
+            with_baked,
+            mesh=mesh,
+            in_specs=(P(), P(), env_spec, env_spec, P(), env_spec),
+            out_specs=(P(), P(), env_spec, env_spec, P()),
+            check_vma=False,
+        )
+    else:
+        sharded = shard_map(
+            partial(local, axis=axes),
+            mesh=mesh,
+            in_specs=(P(), P(), env_spec, env_spec, P()),
+            out_specs=(P(), P(), env_spec, env_spec, P()),
+            check_vma=False,
+        )
 
     def place(tree):
         def put(x):

@@ -197,3 +197,38 @@ def test_ppo_train_step_sharded():
     # state stayed sharded through the step
     spec = batch.alive.sharding.spec
     assert spec and spec[0] == ("dp", "sp")
+
+
+@pytest.mark.slow
+def test_ppo_train_step_sharded_static_bake():
+    """Sharded PPO with the static-bake env: the baked columns thread
+    through train_step as an explicit sharded argument (a closure capture
+    would replicate them and break the per-shard vmap)."""
+    import optax
+
+    from scx.app.rlenv import CityRLEnv
+    from scx.parallel.mesh import make_mesh
+    from train_ppo import ac_apply, actor_critic, net_init
+
+    env = CityRLEnv(
+        n_envs=8, capacity=32, obs_size=16, n_traffic=2,
+        interpret=True, static_bake=True,
+    )
+    mesh = make_mesh(dp=4, sp=2)
+    params = net_init(jax.random.PRNGKey(0), 16)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    cfg = PPOConfig(epochs=1, minibatches=2)
+    train_step, place = make_ppo_train_step(
+        env, actor_critic, ac_apply, 4, opt, cfg, mesh=mesh
+    )
+    batch, cache, baked = place(env.state), place(env.cache), place(env.baked)
+    assert baked.sharding.spec[0] == ("dp", "sp")
+
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    params, opt_state, batch, cache, metrics = train_step(
+        params, opt_state, batch, cache, jax.random.PRNGKey(1), baked
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(np.abs(np.asarray(params["conv1"]) - p0["conv1"]).max()) > 0
