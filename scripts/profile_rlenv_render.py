@@ -49,8 +49,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from scx.app.rlenv import CityRLEnv
-    from scx.core import math3d as m3
-    from scx.render.camera import CameraParams, camera_view_proj
     from scx.render.pipeline import (
         bin_triangles_batched,
         raster_gbuffer_batched,
@@ -82,19 +80,8 @@ def main():
         pos = s.transform.pos.at[:, player, 0].add(dp)
         return s.replace(transform=s.transform.replace(pos=pos))
 
-    def cam_vp(state):
-        ppos = state.transform.pos[player]
-        prot = state.transform.rot[player]
-        fwd = m3.quat_rotate(prot, jnp.asarray([0.0, 0.0, 1.0]))
-        fwd = m3.safe_normalize(
-            fwd * jnp.asarray([1.0, 0.0, 1.0]), jnp.asarray([0.0, 0.0, 1.0])
-        )
-        cam_pos = ppos - fwd * 7.0 + jnp.asarray([0.0, 3.0, 0.0])
-        return camera_view_proj(
-            cam_pos, ppos + jnp.asarray([0.0, 1.0, 0.0]),
-            jnp.asarray([0.0, 1.0, 0.0]), aspect=1.0,
-            params=CameraParams(fov_y_deg=70.0),
-        )
+    # the PRODUCTION camera — stage attribution must time the same path
+    cam_vp = env._camera_vp
 
     # --- nested prefixes of the render path (each chained over N) ------
     def fold(s, acc):

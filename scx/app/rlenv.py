@@ -194,7 +194,9 @@ class CityRLEnv:
             jax.vmap(lambda s: sb.static_tri_total(s, self.pool))
         )(self.state)
         t_s = max(128, -(-int(jnp.max(totals)) // 128) * 128)
-        pad_s = min(self.raster.clip_extra, t_s // 4)
+        # pads 32-aligned: the cluster obs path reshapes the combined
+        # width by raster_clusters.CLUSTER (32)
+        pad_s = (min(self.raster.clip_extra, t_s // 4) // 32) * 32
         self._params_static = self.raster.replace(
             max_tris=t_s + pad_s, clip_extra=pad_s
         )
@@ -202,7 +204,7 @@ class CityRLEnv:
         tris_per_draw = int(np.asarray(self.pool.mesh_tri_count).max())
         self._dyn_budget = self.n_traffic + 5
         t_d = -(-int(self._dyn_budget * tris_per_draw * 1.2) // 128) * 128
-        pad_d = min(128, t_d // 4)
+        pad_d = (min(128, t_d // 4) // 32) * 32
         self._params_dyn = self.raster.replace(
             max_tris=t_d + pad_d, clip_extra=pad_d
         )

@@ -19,6 +19,7 @@ no shape ever changes.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -305,6 +306,15 @@ class Sandbox:
                 max_tris=16384, clip_extra=512
             )
             self._render_baked = jax.jit(self._render_baked_impl)
+            from scx.render import staticbake as sbk
+
+            # jit ONCE: a per-rebake lambda would retrace+compile every
+            # time streaming dirties the bake (and a fresh compile poisons
+            # co-resident timings, CLAUDE.md quirk 10b)
+            self._bake_total_fn = jax.jit(
+                lambda s: sbk.static_tri_total(s, self.mesh_pool)
+            )
+            self._rebake_count = 0
         from scx.render.debug_draw import DebugDraw, overlay_lines
 
         self.debug = DebugDraw(capacity=2048)
@@ -421,21 +431,19 @@ class Sandbox:
         happens when the streamed world outgrows the current bucket."""
         from scx.render import staticbake as sbk
 
-        total = int(
-            jax.jit(lambda s: sbk.static_tri_total(s, self.mesh_pool))(
-                self.state
-            )
-        )
+        total = int(self._bake_total_fn(self.state))
         bucket = max(4096, -(-total // 4096) * 4096)
         self._bake_tris = bucket
         if bucket not in self._bake_fns:
             self._bake_fns[bucket] = jax.jit(
-                lambda s: sbk.bake_static_tris(
-                    s, self.mesh_pool, bucket, morton=True
+                functools.partial(
+                    sbk.bake_static_tris,
+                    pool=self.mesh_pool, max_tris=bucket, morton=True,
                 )
             )
         self._baked = self._bake_fns[bucket](self.state)
         self._bake_dirty = False
+        self._rebake_count += 1
 
     # --- systems (reference names; run by the scheduler) ----------------
     def _sys_player_input(self, ctx):

@@ -162,12 +162,22 @@ def test_sandbox_baked_render_matches():
         np.testing.assert_allclose(
             np.asarray(rgb_a), np.asarray(rgb_b), atol=2e-2
         )
-        # a fresh activation marks the bake dirty
-        sb._bake_dirty = False
-        sb.partition.stats.activations_this_frame = 1
-        if sb.partition.stats.activations_this_frame:
-            sb._bake_dirty = True
-        assert sb._bake_dirty
+        # streaming activity drives a REAL rebake: teleport the player two
+        # sectors away so the active set changes, then run frames through
+        # the scheduler until the rebake lands
+        rebakes0 = sb._rebake_count
+        far = sb.state.transform.pos.at[sb.player_slot].set(
+            jnp.asarray([3.0 * 64.0, 0.6, 3.0 * 64.0])
+        )
+        sb.state = sb.state.replace(
+            transform=sb.state.transform.replace(pos=far)
+        )
+        for _ in range(20):
+            sb.frame(player_input=(0.0, 0.0, 0.0, 0.0))
+            _t.sleep(0.02)
+            if sb._rebake_count > rebakes0:
+                break
+        assert sb._rebake_count > rebakes0
     finally:
         sb.shutdown()
 
