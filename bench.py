@@ -10,6 +10,12 @@ IMMEDIATELY after the primary measurement (the driver must always capture
 it, even if secondaries run long), then runs the secondary benchmarks
 under one strict total wall budget and prints each as a separate
 'BENCH_JSON {...}' line.
+
+Hang-proofing: the parent process NEVER touches the device. Every device
+touch (tunnel probe, primary measurement, each secondary) runs in a child
+process whose whole process group is SIGKILLed on timeout — the remote TPU
+tunnel flaps, and an in-process device touch can block forever even right
+after a successful probe.
 """
 
 import json
@@ -43,6 +49,42 @@ TARGET = 1_000_000.0
 # per-script timeouts starved the primary line entirely).
 SECONDARY_TOTAL_BUDGET_S = 900.0  # ~15 min wall for ALL secondaries
 SECONDARY_SCRIPT_TIMEOUT_S = 480.0  # per-script cap
+
+# Primary runs in a bounded CHILD process (round-3 lesson: the tunnel
+# FLAPS — a probe can succeed seconds before the real device touch hangs
+# forever, so the parent process must never touch the device itself).
+PRIMARY_TOTAL_BUDGET_S = 1200.0
+PRIMARY_ATTEMPT_TIMEOUT_S = 600.0
+TUNNEL_WAIT_S = 600.0
+
+
+def _run_bounded(cmd, timeout_s: float, env=None, cwd=None):
+    """subprocess.run with a timeout that actually terminates: the child
+    gets its own session and the WHOLE process group is SIGKILLed on
+    timeout, so helper processes can't keep the pipes (and our wait) alive.
+    Returns (returncode, stdout, stderr); rc -9 on timeout."""
+    import signal
+    import subprocess
+
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        cwd=cwd,
+        start_new_session=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out or "", err or ""
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except Exception:
+            proc.kill()
+        out, err = proc.communicate()
+        return -9, out or "", err or ""
 
 
 def build_batch(envs: int, n: int) -> ph.RigidBodies:
@@ -78,40 +120,34 @@ def build_batch(envs: int, n: int) -> ph.RigidBodies:
     return jax.vmap(one_env)(jnp.arange(envs, dtype=jnp.int32))
 
 
-def _wait_for_tunnel(max_wait_s: float = 1500.0) -> bool:
+def _wait_for_tunnel(max_wait_s: float = TUNNEL_WAIT_S) -> bool:
     """The axon tunnel has multi-hour outages during which the FIRST device
     touch in any process blocks forever with zero output (CLAUDE.md quirk
     11).  Probe it in a killable subprocess and wait (bounded) for it to come
     back rather than hanging the driver's whole window like BENCH_r02 did.
-    Returns True when a probe succeeds."""
-    import subprocess
+    Returns True when a probe succeeds.  NOTE a successful probe is
+    necessary, not sufficient — the tunnel flaps, so the actual measurement
+    must ALSO run in a bounded child (see _primary_via_child)."""
     import sys
 
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True,
-                text=True,
-                timeout=60.0,
-            )
-            if proc.returncode == 0:
-                return True
+        rc, _, err = _run_bounded(
+            [sys.executable, "-c", "import jax; jax.devices()"], 75.0
+        )
+        if rc == 0:
+            return True
+        if rc != -9:
             # fast non-zero exit is NOT the tunnel-outage signature (that
-            # hangs, -> TimeoutExpired); surface the real error so local
-            # breakage (bad env, import error) is diagnosable, but keep
-            # retrying — connection-refused errors can also exit fast and
-            # recover
+            # hangs -> rc -9); surface the real error so local breakage
+            # (bad env, import error) is diagnosable, but keep retrying —
+            # connection-refused errors can also exit fast and recover
             print(
-                f"# probe exited rc={proc.returncode}: "
-                + proc.stderr.strip()[-500:],
+                f"# probe exited rc={rc}: " + err.strip()[-500:],
                 file=sys.stderr,
                 flush=True,
             )
-        except subprocess.TimeoutExpired:
-            pass
         attempt += 1
         remaining = deadline - time.monotonic()
         if remaining <= 0:
@@ -125,24 +161,29 @@ def _wait_for_tunnel(max_wait_s: float = 1500.0) -> bool:
         time.sleep(min(60.0, max(1.0, remaining)))
 
 
-def main():
+def _zero_line(error: str) -> str:
+    """An honest parseable primary line when no measurement was possible."""
+    return json.dumps(
+        {
+            "metric": "physics_env_steps_per_sec",
+            "value": 0.0,
+            "unit": "env_steps/s",
+            "vs_baseline": 0.0,
+            "error": error,
+        }
+    )
+
+
+def _run_primary():
+    """CHILD process body: measure the primary metric, print ONE JSON line.
+
+    Runs bounded under _primary_via_child — if the device touch hangs
+    (flapping tunnel), the parent kills this whole process group and the
+    driver still gets a line."""
     from scx.physics.warmstart import empty_contact_cache
 
-    if not _wait_for_tunnel():
-        # Emit SOMETHING parseable rather than hanging silently: the driver
-        # records the line; value 0 is honest (no measurement possible).
-        print(
-            json.dumps(
-                {
-                    "metric": "physics_env_steps_per_sec",
-                    "value": 0.0,
-                    "unit": "env_steps/s",
-                    "vs_baseline": 0.0,
-                    "error": "TPU tunnel unreachable after bounded wait",
-                }
-            ),
-            flush=True,
-        )
+    if not _wait_for_tunnel(120.0):
+        print(_zero_line("TPU tunnel unreachable (child probe)"), flush=True)
         return
 
     # production solver setting: 6 warm-started iterations (== cold-8 quality;
@@ -189,9 +230,66 @@ def main():
         "unit": "env_steps/s",
         "vs_baseline": round(rate / TARGET, 3),
     }
+    print(json.dumps(result), flush=True)
+
+
+def _primary_via_child() -> str:
+    """PARENT: run the primary measurement in bounded child attempts and
+    return the primary JSON line to print. The parent process never touches
+    the device — an in-process touch can hang forever on a flapping tunnel
+    no matter what was probed beforehand (observed 2026-08-18)."""
+    import sys
+
+    deadline = time.monotonic() + PRIMARY_TOTAL_BUDGET_S
+    last_err = "no primary attempt completed"
+    attempt = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining < 120.0:
+            break
+        attempt += 1
+        rc, out, err = _run_bounded(
+            [sys.executable, os.path.abspath(__file__), "--primary"],
+            min(PRIMARY_ATTEMPT_TIMEOUT_S, remaining),
+        )
+        if err.strip():
+            print(
+                f"# primary attempt {attempt} stderr tail: "
+                + err.strip()[-800:],
+                file=sys.stderr,
+                flush=True,
+            )
+        parsed = None
+        for ln in out.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{") and '"metric"' in ln:
+                try:
+                    parsed = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+        if parsed and parsed.get("value", 0) > 0:
+            return json.dumps(parsed)
+        if parsed:
+            last_err = str(parsed.get("error", "primary measured 0"))
+        elif rc == -9:
+            last_err = f"primary attempt {attempt} hung and was killed"
+        else:
+            last_err = f"primary attempt {attempt} exited rc={rc}"
+    return _zero_line(last_err)
+
+
+def main():
     # Print the primary line FIRST and flush: the driver's window may close
     # before the secondaries finish, and the headline must never be lost.
-    print(json.dumps(result), flush=True)
+    if not _wait_for_tunnel():
+        print(_zero_line("TPU tunnel unreachable after bounded wait"), flush=True)
+        print(
+            "BENCH_JSON "
+            + json.dumps({"metric": "secondaries", "skipped": "tunnel down"}),
+            flush=True,
+        )
+        return
+    print(_primary_via_child(), flush=True)
     for sec in _secondaries():
         print("BENCH_JSON " + json.dumps(sec), flush=True)
 
@@ -203,7 +301,6 @@ def _secondaries():
     A generator: each result is yielded (and printed by the caller) as soon
     as its script finishes, so a driver window closing mid-run still keeps
     every completed secondary. Skip with SCX_BENCH_SECONDARIES=0."""
-    import subprocess
     import sys
 
     if os.environ.get("SCX_BENCH_SECONDARIES", "1") == "0":
@@ -227,27 +324,30 @@ def _secondaries():
         env = dict(os.environ)
         env.setdefault("SCX_BENCH_FAST", "1")  # scripts shrink warmups/rounds
         try:
-            proc = subprocess.run(
+            rc, out, _ = _run_bounded(
                 [sys.executable, os.path.join(root, script)],
-                capture_output=True,
-                text=True,
-                timeout=timeout,
+                timeout,
                 cwd=root,
                 env=env,
             )
             got = False
-            for line in proc.stdout.splitlines():
+            for line in out.splitlines():
                 if line.startswith("BENCH_JSON "):
                     yield json.loads(line[len("BENCH_JSON "):])
                     got = True
             if not got:
                 yield {
                     "metric": script,
-                    "error": f"rc={proc.returncode}, no BENCH_JSON line",
+                    "error": f"rc={rc}, no BENCH_JSON line",
                 }
         except Exception as e:  # noqa: BLE001 — never break the primary line
             yield {"metric": script, "error": str(e)[:200]}
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--primary" in sys.argv:
+        _run_primary()
+    else:
+        main()
