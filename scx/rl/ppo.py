@@ -204,8 +204,12 @@ def make_ppo_train_step(
         return params, opt_state, batch, cache, metrics
 
     if mesh is None:
+        # donate the env state + warm-start caches (outputs alias inputs;
+        # hundreds of MB at fleet scale — every caller threads them, see
+        # the returned signature). Params/opt_state stay undonated: they
+        # are small and callers may keep snapshots for eval/checkpoints.
         train_step = jax.jit(
-            partial(local, axis=None),
+            partial(local, axis=None), donate_argnums=(2, 3)
         )
         return train_step, lambda tree: tree
 
@@ -243,4 +247,6 @@ def make_ppo_train_step(
 
         return jax.tree.map(put, tree)
 
-    return jax.jit(sharded), place
+    # same donation as the unsharded path (baked, when present, is NOT
+    # donated: it is reused across train steps)
+    return jax.jit(sharded, donate_argnums=(2, 3)), place
