@@ -36,6 +36,9 @@ RL_STATIC_BAKE=1 run glb_on python benchmarks/bench_rlenv_glb.py
 run city_off python benchmarks/bench_city_720p.py
 STATIC_BAKE=1 run city_on python benchmarks/bench_city_720p.py
 
+# 4b. cost-model constants (PERF.md machine model) on the real chip
+run microops python benchmarks/bench_microops.py
+
 # 5. the driver gate end-to-end (also warms .jax_cache for the real run)
 STEP_TIMEOUT=3600 run bench_full python bench.py
 
