@@ -55,7 +55,9 @@ def squash_raw_actions(raw):
 
 class CityRLEnv:
     """Batched sim-for-RL env. Actions: [N,4] (throttle, brake, steer,
-    handbrake); observations: RGB-D [N,H,W,4]."""
+    handbrake) — [N,K,4] with n_agents=K policy cars per env; observations:
+    RGB-D [N,H,W,4] (obs_mode="rgbd") or per-agent state vectors
+    (obs_mode="state", STATE_OBS_DIM floats)."""
 
     def __init__(
         self,
@@ -103,6 +105,19 @@ class CityRLEnv:
         # shards them) for multi-chip; sharded TRAINING with static_bake
         # needs the baked arg threaded and is not yet supported.
         static_bake: bool = False,
+        # observation mode: "rgbd" renders the agent-0 chase camera
+        # ([N,H,W,4], the BASELINE config #5 shape); "state" returns
+        # STATE_OBS_DIM floats per agent (self pose/velocity, lane
+        # guidance, nearest mover, forward clearance ray) — no raster at
+        # all, for algorithm prototyping and cheap multi-agent training.
+        obs_mode: str = "rgbd",
+        # policy-controlled cars per env. Agent 0 is THE player (chase
+        # camera, back-compat [N,4] actions when n_agents == 1); extras
+        # spawn staggered behind it. actions become [N, K, 4] and rewards
+        # [N, K] when K > 1. Pixel obs stay agent-0's view (K cameras
+        # would K-fold the raster cost); use obs_mode="state" for
+        # per-agent observations.
+        n_agents: int = 1,
     ):
         self.n_envs = n_envs
         self.capacity = capacity
@@ -158,11 +173,26 @@ class CityRLEnv:
         self.sim = SimParams(
             solver=SolverParams(iterations=cfg.physics.solver_iterations)
         )
-        self._tick = make_sim_tick(cfg, self.sim, max_substeps=substeps)
+        if obs_mode not in ("rgbd", "state"):
+            raise ValueError(f"obs_mode {obs_mode!r} not in ('rgbd','state')")
+        if not 1 <= n_agents <= 8:
+            raise ValueError("n_agents must be in 1..8")
+        self.obs_mode = obs_mode
+        self.n_agents = n_agents
+        self._tick = make_sim_tick(
+            cfg, self.sim, max_substeps=substeps,
+            vehicle_reserve=3 + n_agents,
+        )
         self.substeps = substeps
         self.seed = seed
         self.n_traffic = n_traffic
         self.player = capacity - 1
+        # agent 0 == the player; extras fill descending slots (the merge in
+        # _build_batch keeps template values there, so prop/traffic columns
+        # can never land on an agent slot)
+        self.agent_slots = jnp.asarray(
+            [capacity - 1 - j for j in range(n_agents)], jnp.int32
+        )
 
         # lanes shared across envs (every env uses sector (0,0)'s cross)
         lanes = LaneGraphBuilder(max_nodes=64, max_segments=32)
@@ -320,9 +350,14 @@ class CityRLEnv:
             for key in per_env[0]
         }
         template = ent.alloc_entity_state(self.capacity)
-        template = spawn_player_vehicle(
-            template, self.player, pos=(32.0, 0.6, 16.0)
-        )
+        for j in range(self.n_agents):
+            # agent 0 at the reference spawn; extras staggered behind in a
+            # column (same lane heading, 7 m gaps, no initial overlap)
+            template = spawn_player_vehicle(
+                template,
+                self.capacity - 1 - j,
+                pos=(32.0 + 3.0 * (j % 2), 0.6, 16.0 - 7.0 * j),
+            )
         batch = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), template
         )
@@ -334,8 +369,9 @@ class CityRLEnv:
         s = stacked
 
         def merge(batch):
-            keep_player = jnp.arange(self.capacity) == self.player
-            kp = keep_player
+            # agent slots keep their template (vehicle) values: procedural
+            # prop/traffic columns can never overwrite a policy car
+            kp = jnp.arange(self.capacity) >= self.capacity - self.n_agents
             def sel(new, old):
                 mask = jnp.reshape(kp, (1, -1) + (1,) * (old.ndim - 2))
                 return jnp.where(mask, old, new)
@@ -435,8 +471,110 @@ class CityRLEnv:
         g, _rstats = raster_gbuffer_batched(setup, aabb, valid, params)
         return jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
 
+    # per-agent state-observation layout (obs_mode="state"):
+    #   0:3  world-frame velocity        9:11 look-ahead target (xz, rel)
+    #   3:5  forward direction (xz)      11   lane-valid flag
+    #   5    forward speed               12:14 nearest mover (xz, rel)
+    #   6    yaw rate (omega_y)          14   nearest-mover distance (<=50)
+    #   7:9  position (xz / 64)          15   forward clearance ray (<=20)
+    STATE_OBS_DIM = 16
+    _RAY_LEN = 20.0
+
+    def _state_obs_one(self, state):
+        """STATE_OBS_DIM floats per agent for ONE env -> [K, S].
+
+        The guidance terms mirror what the traffic AI computes for its own
+        agents (scx/traffic/ai.py: nearest_lane + look_ahead_point + the
+        forward sensor ray, sc_traffic_ai.cpp:274-347) so a policy sees the
+        same world the scripted agents act on."""
+        from scx.physics.world import bodies_from_state
+        from scx.physics.queries import raycast
+        from scx.traffic import lanes as ln
+
+        slots = self.agent_slots
+        pos = state.transform.pos[slots]  # [K,3]
+        rot = state.transform.rot[slots]
+        vel = state.body.vel[slots]
+        omega_y = state.body.omega[slots][:, 1]
+        fwd = jax.vmap(
+            lambda q: m3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
+        )(rot)
+        speed = jnp.sum(vel * fwd, axis=-1)
+
+        # lane guidance (fresh query each obs: policy cars carry no lane state)
+        q_lane, q_s, _ = jax.vmap(lambda p: ln.nearest_lane(self.lanes, p))(pos)
+        tgt, _, tgt_ok = jax.vmap(
+            lambda lid, s: ln.look_ahead_point(
+                self.lanes, lid, s, jnp.float32(8.0)
+            )
+        )(q_lane, q_s)
+        to_tgt = jnp.where(tgt_ok[:, None], (tgt - pos), 0.0)
+
+        # nearest other moving body (traffic or another agent)
+        moving = state.alive & (state.body.body_type != ent.BODY_STATIC)
+        d2 = jnp.sum(
+            (pos[:, None, :] - state.transform.pos[None, :, :]) ** 2, axis=-1
+        )  # [K, C]
+        is_self = slots[:, None] == jnp.arange(self.capacity)[None, :]
+        d2 = jnp.where(moving[None, :] & ~is_self, d2, jnp.inf)
+        j = jnp.argmin(d2, axis=-1)
+        dmin = d2[jnp.arange(slots.shape[0]), j]
+        has_mover = jnp.isfinite(dmin)  # all-static scene -> d2 all inf
+        near_dist = jnp.where(
+            has_mover, jnp.sqrt(jnp.where(has_mover, dmin, 0.0)), 50.0
+        )
+        near_dist = jnp.minimum(near_dist, 50.0)
+        near_rel = jnp.where(
+            has_mover[:, None], state.transform.pos[j] - pos, 0.0
+        )
+
+        # forward clearance (the AI's sensor ray, from the chassis nose)
+        bodies = bodies_from_state(state)
+        hits = jax.vmap(
+            lambda o, f, s: raycast(
+                bodies, o, f, jnp.float32(self._RAY_LEN), query_mask=1, exclude=s
+            )
+        )(pos + fwd * 2.2 + jnp.asarray([0.0, 0.3, 0.0]), fwd, slots)
+        ray_dist = jnp.where(hits.hit, hits.t, self._RAY_LEN)
+
+        return jnp.concatenate(
+            [
+                vel,
+                fwd[:, (0, 2)],
+                speed[:, None],
+                omega_y[:, None],
+                pos[:, (0, 2)] / 64.0,
+                to_tgt[:, (0, 2)],
+                tgt_ok[:, None].astype(jnp.float32),
+                near_rel[:, (0, 2)],
+                near_dist[:, None],
+                ray_dist[:, None],
+            ],
+            axis=-1,
+        )
+
+    def _obs_batched(self, batch, baked=None):
+        """Observations for the whole batch, dispatched on obs_mode:
+        rgbd -> [N,H,W,4]; state -> [N, STATE_OBS_DIM] (n_agents == 1)
+        or [N, K, STATE_OBS_DIM]."""
+        if self.obs_mode == "state":
+            obs = jax.vmap(self._state_obs_one)(batch)
+            return obs[:, 0] if self.n_agents == 1 else obs
+        return self._render_obs_batched(batch, baked)
+
     def _step_impl(self, batch, cache, actions, baked=None):
         def env_step(state, c, action):
+            if self.n_agents > 1:
+                # extra agents' inputs pre-scatter; the tick's own scatter
+                # then writes agent 0 (the player) — one pass, no overlap
+                state = state.replace(
+                    vehicle=state.vehicle.replace(
+                        input=state.vehicle.input.at[self.agent_slots[1:]].set(
+                            action[1:]
+                        )
+                    )
+                )
+                action = action[0]
             state, c, _, counts = self._tick(
                 state, c, self.lanes, self.player, action, jnp.int32(self.substeps)
             )
@@ -466,16 +604,21 @@ class CityRLEnv:
             "nan_rollbacks": jnp.sum((~ok).astype(jnp.int32)),
             "pair_overflow": jnp.max(overflow),
         }
-        obs = self._render_obs_batched(batch, baked)
-        # reward: forward progress of the player (m per step)
-        fwd_speed = jax.vmap(
-            lambda s: m3.dot(
-                s.body.vel[self.player],
-                m3.quat_rotate(
-                    s.transform.rot[self.player], jnp.asarray([0.0, 0.0, 1.0])
-                ),
-            )
-        )(batch)
+        obs = self._obs_batched(batch, baked)
+
+        # reward: forward progress per agent (m per step); [N] when
+        # n_agents == 1 (back-compat), else [N, K]
+        def agent_fwd(s):
+            rot = s.transform.rot[self.agent_slots]
+            vel = s.body.vel[self.agent_slots]
+            fwd = jax.vmap(
+                lambda q: m3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
+            )(rot)
+            return jnp.sum(vel * fwd, axis=-1)  # [K]
+
+        fwd_speed = jax.vmap(agent_fwd)(batch)
+        if self.n_agents == 1:
+            fwd_speed = fwd_speed[:, 0]
         reward = fwd_speed * (self.cfg.physics.fixed_dt * self.substeps)
         return batch, cache, obs, reward, info
 
@@ -485,13 +628,19 @@ class CityRLEnv:
         if self.static_bake:
             self.baked = self._bake_static()
         self.cache = self._build_cache()
-        obs = np.zeros(
-            (self.n_envs, self.raster.height, self.raster.width, 4), np.float32
-        )
-        return obs
+        if self.obs_mode == "state":
+            shape = (
+                (self.n_envs, self.STATE_OBS_DIM)
+                if self.n_agents == 1
+                else (self.n_envs, self.n_agents, self.STATE_OBS_DIM)
+            )
+        else:
+            shape = (self.n_envs, self.raster.height, self.raster.width, 4)
+        return np.zeros(shape, np.float32)
 
     def step(self, actions):
-        """actions [N,4] -> (obs [N,H,W,4], reward [N])."""
+        """actions [N,4] (or [N,K,4] when n_agents=K>1) ->
+        (obs, reward [N] or [N,K]); obs per obs_mode (see __init__)."""
         self.state, self.cache, obs, reward, info = self._step_jit(
             self.state, self.cache, jnp.asarray(actions, jnp.float32),
             self.baked if self.static_bake else None,
@@ -504,8 +653,9 @@ class CityRLEnv:
             b, c, nans = carry
             b, c, obs, rew, info = self._step_impl(b, c, actions, baked)
             # obs consumed on device (policy stand-in): per-env mean pool
+            # (any obs_mode: reduce every non-env axis)
             return (b, c, nans + info["nan_rollbacks"]), (
-                jnp.mean(obs, axis=(1, 2, 3)),
+                jnp.mean(obs.reshape(obs.shape[0], -1), axis=-1),
                 rew,
             )
 
@@ -517,7 +667,9 @@ class CityRLEnv:
     def make_policy_rollout(self, policy, length: int):
         """Pure policy-in-the-loop rollout for on-device RL training.
 
-        `policy(params, obs [N,H,W,4], key) -> (actions [N,4], logp [N])`
+        `policy(params, obs, key) -> (actions, logp [N])` — obs/actions in
+        this env's shapes (obs per obs_mode; actions [N,K,4] when
+        n_agents=K>1)
         runs on the SAME chip inside the rollout scan — observations never
         cross the host link (the deployment shape BASELINE config #5 is
         for; `rollout` with fixed actions is just the benchmark harness).
@@ -541,7 +693,7 @@ class CityRLEnv:
         baked = self.baked  # device-array const when static_bake is on
 
         def fn(batch, cache, params, key):
-            obs0 = self._render_obs_batched(batch, baked)
+            obs0 = self._obs_batched(batch, baked)
 
             def body(carry, k):
                 b, c, obs = carry
@@ -549,7 +701,11 @@ class CityRLEnv:
                 b, c, obs2, rew, _info = self._step_impl(
                     b, c, jax.lax.stop_gradient(actions), baked
                 )
-                return (b, c, obs2), (rew, logp, jnp.mean(obs2, axis=(1, 2, 3)))
+                return (b, c, obs2), (
+                    rew,
+                    logp,
+                    jnp.mean(obs2.reshape(obs2.shape[0], -1), axis=-1),
+                )
 
             keys = jax.random.split(key, length)
             (batch, cache, _), aux = jax.lax.scan(
@@ -564,7 +720,7 @@ class CityRLEnv:
     ):
         """On-device trajectory collection for actor-critic methods (PPO).
 
-        `actor_critic(params, obs [N,H,W,4], key) ->
+        `actor_critic(params, obs, key) ->
             (actions [N,4], logp [N], value [N], store)`
         runs inside the rollout scan like `make_policy_rollout`'s policy;
         `store` is whatever pytree the UPDATE phase needs to recompute
@@ -593,7 +749,7 @@ class CityRLEnv:
         """
 
         def impl(batch, cache, params, key, baked):
-            obs0 = self._render_obs_batched(batch, baked)
+            obs0 = self._obs_batched(batch, baked)
 
             def body(carry, k):
                 b, c, obs = carry

@@ -90,7 +90,12 @@ def spawn_player_vehicle(state, slot: int, pos=(0.0, 0.6, 0.0)):
     return state
 
 
-def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
+def make_sim_tick(
+    cfg: EngineConfig,
+    sim: SimParams,
+    max_substeps: int = 4,
+    vehicle_reserve: int = 4,
+):
     """The device tick: (state, cache, lanes, player_idx, input4, n_steps) ->
     (state, cache, despawn_mask, telemetry scalars).
 
@@ -100,12 +105,15 @@ def make_sim_tick(cfg: EngineConfig, sim: SimParams, max_substeps: int = 4):
     tcfg = cfg.traffic
     dt = cfg.physics.fixed_dt
     # vehicle-slot capacity: tier-A promotions are capped by the traffic
-    # config, +4 covers the player and spares (every wheel raycast scans
-    # all capacity boxes, so fleets with few vehicles shouldn't pay the
-    # full 32-slot default)
+    # config; `vehicle_reserve` covers the player(s) and spares (every
+    # wheel raycast scans all capacity boxes, so fleets with few vehicles
+    # shouldn't pay the full 32-slot default). Multi-agent RL envs pass
+    # a larger reserve (one slot per policy-controlled car).
     from scx.physics.world import MAX_VEHICLES
 
-    max_vehicles = min(MAX_VEHICLES, int(tcfg.max_vehicles_physics) + 4)
+    max_vehicles = min(
+        MAX_VEHICLES, int(tcfg.max_vehicles_physics) + int(vehicle_reserve)
+    )
 
     def tick(state, cache, lanes, player_idx, player_input, n_steps):
         # player input -> vehicle input column (Input phase)

@@ -132,7 +132,7 @@ def make_ppo_train_step(
     """Build the one-launch PPO train step over `env` (a CityRLEnv).
 
     Args:
-      actor_critic: `(params, obs [N,H,W,4], key) -> (actions, logp, value,
+      actor_critic: `(params, obs, key) -> (actions, logp, value,
         store)` — the collection-phase policy (see
         CityRLEnv.make_trajectory_rollout).
       apply: `(params, store) -> (logp, value, entropy)` — the update-phase
