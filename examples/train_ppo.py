@@ -102,6 +102,40 @@ def ac_apply(params, store):
     return logp, value, entropy
 
 
+def state_net_init(key, obs_dim: int, hidden: int = 64):
+    """MLP actor-critic for obs_mode='state' (16-float state vectors)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w1": jax.random.normal(k1, (obs_dim, hidden)) * (1.0 / obs_dim**0.5),
+        "b1": jnp.zeros((hidden,)),
+        "pi_head": jax.random.normal(k2, (hidden, 4)) * 0.01,
+        "pi_bias": jnp.zeros((4,)),
+        "v_head": jax.random.normal(k3, (hidden, 1)) * 0.01,
+        "v_bias": jnp.zeros((1,)),
+        "log_std": jnp.full((4,), -0.5),
+    }
+
+
+def state_actor_critic(params, obs, key):
+    """Collection phase over state vectors; store = the obs row itself
+    (16 floats/step — no pooling trade needed)."""
+    feats = jax.nn.relu(obs @ params["w1"] + params["b1"])
+    mean, log_std, value = _heads(params, feats)
+    raw = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+    logp = _logp_of_raw(mean, log_std, raw)
+    from scx.app.rlenv import squash_raw_actions
+
+    return squash_raw_actions(raw), logp, value, {"obs": obs, "raw": raw}
+
+
+def state_ac_apply(params, store):
+    feats = jax.nn.relu(store["obs"] @ params["w1"] + params["b1"])
+    mean, log_std, value = _heads(params, feats)
+    logp = _logp_of_raw(mean, log_std, store["raw"])
+    entropy = jnp.sum(log_std + 0.5 * (_LOG_2PI + 1.0)) * jnp.ones(logp.shape)
+    return logp, value, entropy
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=256)
@@ -122,6 +156,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU tunnel hangs "
                          "silently when down — CLAUDE.md quirk 11)")
+    ap.add_argument("--obs-mode", choices=("rgbd", "state"), default="rgbd",
+                    dest="obs_mode",
+                    help="state = 16-float state vectors (no raster): MLP "
+                         "actor-critic, ~raster-free training throughput")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -138,14 +176,21 @@ def main():
         capacity=args.capacity,
         obs_size=args.obs,
         n_traffic=args.traffic,
+        obs_mode=args.obs_mode,
     )
     print(f"built {args.envs} envs in {time.time()-t0:.1f}s", flush=True)
 
+    if args.obs_mode == "state":
+        init, ac, apply = (
+            lambda k: state_net_init(k, env.STATE_OBS_DIM),
+            state_actor_critic,
+            state_ac_apply,
+        )
+    else:
+        init, ac, apply = lambda k: net_init(k, args.obs), actor_critic, ac_apply
     key = jax.random.PRNGKey(args.seed)
     key, pk = jax.random.split(key)
-    params = (
-        load_policy(args.resume) if args.resume else net_init(pk, args.obs)
-    )
+    params = load_policy(args.resume) if args.resume else init(pk)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
     cfg = PPOConfig(epochs=args.epochs, minibatches=args.minibatches)
@@ -156,7 +201,7 @@ def main():
 
         mesh = make_mesh()
     train_step, place = make_ppo_train_step(
-        env, actor_critic, ac_apply, args.length, opt, cfg, mesh=mesh
+        env, ac, apply, args.length, opt, cfg, mesh=mesh
     )
     batch, cache = place(env.state), place(env.cache)
 
