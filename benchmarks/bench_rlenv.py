@@ -27,16 +27,20 @@ def main():
     n_envs = int(os.environ.get("RL_ENVS", "4096"))
     obs_size = int(os.environ.get("RL_OBS", "128"))
     static_bake = os.environ.get("RL_STATIC_BAKE", "0") == "1"
+    # RL_OBS_MODE=state: 16-float state vectors instead of pixels (no
+    # raster at all) — the algorithm-prototyping/training-throughput shape
+    obs_mode = os.environ.get("RL_OBS_MODE", "rgbd")
     from scx.app.rlenv import CityRLEnv
 
     t0 = time.time()
     env = CityRLEnv(
         n_envs=n_envs, capacity=160, obs_size=obs_size, n_traffic=8,
-        interpret=False, static_bake=static_bake,
+        interpret=False, static_bake=static_bake, obs_mode=obs_mode,
     )
     print(
         f"built {n_envs} envs in {time.time()-t0:.1f}s"
-        + (" (static bake)" if static_bake else ""),
+        + (" (static bake)" if static_bake else "")
+        + (" (state obs)" if obs_mode == "state" else ""),
         flush=True,
     )
 
@@ -79,7 +83,8 @@ def main():
         "BENCH_JSON "
         + json.dumps(
             {
-                "metric": f"rl_env_steps_per_sec_{n_envs}x{obs_size}",
+                "metric": f"rl_env_steps_per_sec_{n_envs}x{obs_size}"
+                + ("_state" if obs_mode == "state" else ""),
                 "value": round(rate, 1),
                 "unit": "env_steps/s",
                 # config #5 sets scale, not a rate target; report vs the

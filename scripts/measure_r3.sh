@@ -39,6 +39,9 @@ STATIC_BAKE=1 run city_on python benchmarks/bench_city_720p.py
 # 4b. cost-model constants (PERF.md machine model) on the real chip
 run microops python benchmarks/bench_microops.py
 
+# 4c. raster-free state-obs RL throughput (obs_mode="state")
+RL_ENVS=4096 RL_OBS_MODE=state run rl_state python benchmarks/bench_rlenv.py
+
 # 5. the driver gate end-to-end (also warms .jax_cache for the real run)
 STEP_TIMEOUT=3600 run bench_full python bench.py
 
