@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU tunnel hangs "
                          "silently when down — CLAUDE.md quirk 11)")
+    ap.add_argument("--obs-mode", choices=("rgbd", "state"), default="rgbd",
+                    dest="obs_mode",
+                    help="state = the policy consumes 16-float state "
+                         "vectors (train_ppo --obs-mode state layout); the "
+                         "chase view is still rendered for display")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -53,7 +58,18 @@ def main():
     from scx.app.viewer import frame_to_ansi, save_frame
     from train_reinforce import load_policy, policy_apply, policy_init
 
-    if args.ppo:
+    if args.obs_mode == "state":
+        from train_ppo import state_actor_critic, state_net_init
+
+        def apply(params, obs, key):
+            actions, _logp, _v, _store = state_actor_critic(params, obs, key)
+            return actions
+
+        def init(pk, _obs_hw):
+            from scx.app.rlenv import CityRLEnv as _E
+
+            return state_net_init(pk, _E.STATE_OBS_DIM)
+    elif args.ppo:
         from train_ppo import actor_critic, net_init
 
         def apply(params, obs, key):
@@ -71,7 +87,7 @@ def main():
     t0 = time.time()
     env = CityRLEnv(
         n_envs=args.envs, capacity=args.capacity, obs_size=args.obs,
-        n_traffic=args.traffic,
+        n_traffic=args.traffic, obs_mode=args.obs_mode,
     )
     print(f"built {args.envs} envs in {time.time()-t0:.1f}s", flush=True)
 
@@ -96,7 +112,10 @@ def main():
         return batch, cache, obs2, rew
 
     batch, cache = env.state, env.cache
-    obs = jax.jit(env._render_obs_batched)(batch)
+    obs = jax.jit(env._obs_batched)(batch)
+    # state mode: the policy never sees pixels, but the human does —
+    # render the chase view on demand for display only
+    view = jax.jit(env._render_obs_batched)
     total_rew = np.zeros(args.envs, np.float32)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -104,7 +123,12 @@ def main():
         key, sk = jax.random.split(key)
         batch, cache, obs, rew = eval_step(batch, cache, obs, params, sk)
         total_rew += np.asarray(rew)
-        rgb = np.asarray(obs[0, :, :, :3])  # env 0's view, drop depth
+        if args.obs_mode == "state":
+            if args.out and i % args.every != 0:
+                continue  # skip unseen renders entirely
+            rgb = np.asarray(view(batch)[0, :, :, :3])
+        else:
+            rgb = np.asarray(obs[0, :, :, :3])  # env 0's view, drop depth
         if args.out:
             if i % args.every == 0:
                 p = save_frame(
