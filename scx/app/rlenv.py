@@ -36,18 +36,19 @@ from scx.world.culling import cull_entities, emit_draws
 
 
 def squash_raw_actions(raw):
-    """Map an unbounded [N,4] sample (e.g. a Gaussian policy's pre-tanh
+    """Map an unbounded [..., 4] sample (e.g. a Gaussian policy's pre-tanh
     draw) onto THE action convention of this env: throttle, brake and
     handbrake in [0,1], steer in [-1,1]. The single home for the mapping —
     every policy (examples/train_reinforce.py, train_ppo.py) squashes
-    through here so the convention cannot drift between them."""
+    through here so the convention cannot drift between them. Leading axes
+    pass through (multi-agent policies squash [N, K, 4] the same way)."""
     t = jnp.tanh(raw)
     return jnp.stack(
         [
-            (t[:, 0] + 1.0) * 0.5,
-            (t[:, 1] + 1.0) * 0.5,
-            t[:, 2],
-            (t[:, 3] + 1.0) * 0.5,
+            (t[..., 0] + 1.0) * 0.5,
+            (t[..., 1] + 1.0) * 0.5,
+            t[..., 2],
+            (t[..., 3] + 1.0) * 0.5,
         ],
         axis=-1,
     )

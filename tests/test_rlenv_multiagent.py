@@ -102,6 +102,31 @@ def test_state_obs_policy_rollout_trains_shape():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_multiagent_shared_policy_rollout_grad():
+    """A SHARED policy over per-agent state obs ([N,K,S] -> [N,K,4])
+    composes with make_policy_rollout; the REINFORCE-style gradient is
+    finite. squash_raw_actions handles the extra agent axis."""
+    from scx.app.rlenv import squash_raw_actions
+
+    env = _env(obs_mode="state", n_agents=2)
+
+    def policy(params, obs, key):
+        raw = obs @ params  # [N,K,4]
+        return squash_raw_actions(raw), jnp.sum(raw, axis=-1)
+
+    rollout = env.make_policy_rollout(policy, length=2)
+    params = jnp.zeros((env.STATE_OBS_DIM, 4))
+
+    def loss(p, b, c, k):
+        _, _, (rew, logp, _) = rollout(b, c, p, k)
+        return -jnp.mean(rew * jax.lax.stop_gradient(jnp.ones_like(rew))) + 1e-3 * jnp.mean(logp**2)
+
+    g = jax.jit(jax.grad(loss))(
+        params, env.state, env.cache, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_rollout_state_mode_means():
     env = _env(obs_mode="state", n_agents=2)
     acts = np.zeros((4, 2, 4), np.float32)
