@@ -100,6 +100,10 @@ def main():
     emit("scatter_rows_per_sec", rows / dt, "rows/s", rows=rows, width=width)
 
     # --- one-hot matmul (solver's scatter replacement): [C,N]@[N,6] -------
+    # measured at BOTH precisions: the solver runs Precision.HIGHEST
+    # (CLAUDE.md quirk 2 — default TPU matmul is bf16 passes, too coarse
+    # for contact impulses), so the HIGHEST number is the one its cost
+    # model uses; the default-precision rate shows the bf16 headroom.
     c, nb = 1024, 256
     onehot = (
         (jax.random.randint(key, (c,), 0, nb)[:, None] == jnp.arange(nb)[None, :])
@@ -107,12 +111,22 @@ def main():
     )
     vw0 = jax.random.normal(key, (nb, 6), jnp.float32)
 
-    def m_op(vw):
-        g = jnp.matmul(onehot, vw)  # gather-equivalent
-        return vw + 1e-6 * jnp.matmul(onehot.T, g)  # scatter-equivalent
+    for prec_name, prec in (
+        ("highest", jax.lax.Precision.HIGHEST),
+        ("default", None),
+    ):
+        def m_op(vw, _p=prec):
+            g = jnp.matmul(onehot, vw, precision=_p)  # gather-equivalent
+            return vw + 1e-6 * jnp.matmul(onehot.T, g, precision=_p)
 
-    dt = _chain(m_op, vw0, iters * 4)
-    emit("onehot_mm_pair_per_sec", 1.0 / dt, "solves/s", c=c, n=nb)
+        dt = _chain(m_op, vw0, iters * 4)
+        emit(
+            f"onehot_mm_pair_per_sec_{prec_name}",
+            1.0 / dt,
+            "solves/s",
+            c=c,
+            n=nb,
+        )
 
     # --- top_k over a big column (compaction primitive) -------------------
     col0 = jax.random.normal(key, (n,), jnp.float32)

@@ -59,8 +59,12 @@ def main():
         jax.block_until_ready(obs)
         dt = time.time() - t0
         rate = n_envs * steps / dt
+        obs_desc = (
+            "state-vector obs" if obs_mode == "state"
+            else f"{obs_size}x{obs_size} RGB-D"
+        )
         print(
-            f"{rate:,.0f} env-steps/s with {obs_size}x{obs_size} RGB-D "
+            f"{rate:,.0f} env-steps/s with {obs_desc} "
             f"({steps} steps x {n_envs} envs in {dt:.2f}s, obs to host each step)",
             flush=True,
         )

@@ -69,7 +69,9 @@ def _torso(params, pobs):
 
 def _heads(params, feats):
     mean = feats @ params["pi_head"] + params["pi_bias"]
-    value = (feats @ params["v_head"] + params["v_bias"])[:, 0]
+    # [..., 0]: feats may carry an agent axis ([N, K, C] in multi-agent
+    # state mode) — [:, 0] would slice the wrong axis there
+    value = (feats @ params["v_head"] + params["v_bias"])[..., 0]
     return mean, params["log_std"], value
 
 

@@ -351,13 +351,18 @@ class CityRLEnv:
             for key in per_env[0]
         }
         template = ent.alloc_entity_state(self.capacity)
-        for j in range(self.n_agents):
-            # agent 0 at the reference spawn; extras staggered behind in a
-            # column (same lane heading, 7 m gaps, no initial overlap)
+        # agent 0 at THE reference spawn (32, 16); extras on a 3-wide grid
+        # around it. Every cell stays on the sector's ground slab (x,z in
+        # [0,64] — at 7 m column gaps a single-file line of 8 would walk
+        # off the slab at z<0 and fall through the world).
+        agent_xz = [
+            (32.0 + 4.0 * (((j + 1) % 3) - 1), 16.0 - 7.0 * ((j + 1) // 3))
+            for j in range(self.n_agents)
+        ]
+        assert agent_xz[0] == (32.0, 16.0)
+        for j, (ax, az) in enumerate(agent_xz):
             template = spawn_player_vehicle(
-                template,
-                self.capacity - 1 - j,
-                pos=(32.0 + 3.0 * (j % 2), 0.6, 16.0 - 7.0 * j),
+                template, self.capacity - 1 - j, pos=(ax, 0.6, az)
             )
         batch = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), template
@@ -369,7 +374,26 @@ class CityRLEnv:
         memtrack.untrack_array(memtrack.TAG_STATE, template)
         s = stacked
 
+        # extra agents spawn at fixed grid cells that procedural content
+        # knows nothing about: clear small static props from those cells
+        # (the reference's player-exclusion-radius idea, sc_traffic_spawner
+        # .cpp player exclusion) so a braked car is never shoved by an
+        # overlapping prop at reset. Agent 0's cell is NOT cleared — the
+        # n_agents == 1 scene stays bit-identical to the historical one.
+        extra_xz = jnp.asarray(agent_xz[1:], jnp.float32).reshape(-1, 2)
+
         def merge(batch):
+            alive_in = s["alive"]
+            if extra_xz.shape[0]:
+                d = jnp.abs(
+                    s["pos"][:, :, None, (0, 2)] - extra_xz[None, None, :, :]
+                )  # [N, C, K-1, 2]
+                near = jnp.any((d[..., 0] < 4.0) & (d[..., 1] < 5.0), axis=-1)
+                small = jnp.max(s["half"], axis=-1) < 4.0  # never the ground
+                is_prop = (s["body_type"] == ent.BODY_STATIC) & (
+                    s["mode"] == ent.TRAFFIC_NONE
+                )
+                alive_in = alive_in & ~(near & small & is_prop)
             # agent slots keep their template (vehicle) values: procedural
             # prop/traffic columns can never overwrite a policy car
             kp = jnp.arange(self.capacity) >= self.capacity - self.n_agents
@@ -377,7 +401,7 @@ class CityRLEnv:
                 mask = jnp.reshape(kp, (1, -1) + (1,) * (old.ndim - 2))
                 return jnp.where(mask, old, new)
             return batch.replace(
-                alive=batch.alive | s["alive"],
+                alive=batch.alive | alive_in,
                 transform=batch.transform.replace(
                     pos=sel(s["pos"], batch.transform.pos),
                     rot=sel(s["rot"], batch.transform.rot),
@@ -609,17 +633,22 @@ class CityRLEnv:
 
         # reward: forward progress per agent (m per step); [N] when
         # n_agents == 1 (back-compat), else [N, K]
-        def agent_fwd(s):
-            rot = s.transform.rot[self.agent_slots]
-            vel = s.body.vel[self.agent_slots]
-            fwd = jax.vmap(
-                lambda q: m3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
-            )(rot)
-            return jnp.sum(vel * fwd, axis=-1)  # [K]
+        if self.obs_mode == "state":
+            # the state obs already carries per-agent forward speed
+            # (column 5, same post-step batch) — don't recompute it
+            fwd_speed = obs[..., 5]
+        else:
+            def agent_fwd(s):
+                rot = s.transform.rot[self.agent_slots]
+                vel = s.body.vel[self.agent_slots]
+                fwd = jax.vmap(
+                    lambda q: m3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
+                )(rot)
+                return jnp.sum(vel * fwd, axis=-1)  # [K]
 
-        fwd_speed = jax.vmap(agent_fwd)(batch)
-        if self.n_agents == 1:
-            fwd_speed = fwd_speed[:, 0]
+            fwd_speed = jax.vmap(agent_fwd)(batch)
+            if self.n_agents == 1:
+                fwd_speed = fwd_speed[:, 0]
         reward = fwd_speed * (self.cfg.physics.fixed_dt * self.substeps)
         return batch, cache, obs, reward, info
 

@@ -186,9 +186,14 @@ def make_ppo_train_step(
                 mean = jax.lax.pmean(jnp.mean(adv), axis)
                 mean_sq = jax.lax.pmean(jnp.mean(adv**2), axis)
             adv = (adv - mean) / (jnp.sqrt(mean_sq - mean**2) + 1e-6)
+        # one flat row per AGENT-step: logp is [L, N] single-agent or
+        # [L, N, K] multi-agent — flatten every leading (batch) axis and
+        # the same count off each store leaf (multi-agent store leaves
+        # must therefore carry the agent axis: [L, N, K, ...])
+        lead = traj["logp"].ndim
         flat = {
             "store": jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), traj["store"]
+                lambda x: x.reshape((-1,) + x.shape[lead:]), traj["store"]
             ),
             "logp_old": traj["logp"].reshape(-1),
             "adv": adv.reshape(-1),
@@ -208,10 +213,16 @@ def make_ppo_train_step(
         # hundreds of MB at fleet scale — every caller threads them, see
         # the returned signature). Params/opt_state stay undonated: they
         # are small and callers may keep snapshots for eval/checkpoints.
+        # place() COPIES here: the documented pattern is
+        # `batch = place(env.state)`, and donating env.state's own buffers
+        # would delete them under the env's feet on TPU (the sharded
+        # place() already copies via device_put-with-sharding).
         train_step = jax.jit(
             partial(local, axis=None), donate_argnums=(2, 3)
         )
-        return train_step, lambda tree: tree
+        return train_step, lambda tree: jax.tree.map(
+            lambda x: jnp.array(x, copy=True), tree
+        )
 
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -136,6 +136,52 @@ def test_rollout_state_mode_means():
     assert np.isfinite(np.asarray(obs_means)).all()
 
 
+def test_agents_stay_on_ground_at_max_count():
+    """All 8 agents spawn ON the sector's ground slab: a single-file
+    spawn column walked off the slab at z<0 and the tail cars fell
+    through the world (review finding, 2026-08-19)."""
+    env = _env(obs_mode="state", n_agents=8, capacity=96)
+    acts = np.zeros((4, 8, 4), np.float32)
+    for _ in range(40):
+        _obs, _rew = env.step(acts)
+    ys = np.asarray(env.state.transform.pos)[:, np.asarray(env.agent_slots), 1]
+    assert (ys > -0.2).all(), ys  # resting on the slab, not sunk below it
+
+
+def test_ppo_train_step_multiagent_state():
+    """PPO consumes the multi-agent state mode end-to-end: [L,N,K] rows
+    flatten to agent-steps, the MLP heads broadcast over the agent axis,
+    and one train step yields finite metrics."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"),
+    )
+    import optax
+    from train_ppo import state_ac_apply, state_actor_critic, state_net_init
+
+    from scx.rl import PPOConfig, make_ppo_train_step
+
+    env = _env(obs_mode="state", n_agents=2)
+    params = state_net_init(jax.random.PRNGKey(0), env.STATE_OBS_DIM)
+    opt = optax.adam(1e-3)
+    train_step, place = make_ppo_train_step(
+        env, state_actor_critic, state_ac_apply, 2, opt,
+        PPOConfig(epochs=1, minibatches=2),
+    )
+    params, opt_state, batch, cache, metrics = train_step(
+        params, opt.init(params), place(env.state), place(env.cache),
+        jax.random.PRNGKey(1),
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    # the identity-mesh place() COPIES: the env's own state stays usable
+    # after the donated train step
+    obs, rew = env.step(np.zeros((4, 2, 4), np.float32))
+    assert rew.shape == (4, 2)
+
+
 def test_bad_args_rejected():
     with pytest.raises(ValueError):
         _env(obs_mode="pixels")
