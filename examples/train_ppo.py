@@ -162,7 +162,13 @@ def main():
                     dest="obs_mode",
                     help="state = 16-float state vectors (no raster): MLP "
                          "actor-critic, ~raster-free training throughput")
+    ap.add_argument("--agents", type=int, default=1,
+                    help="policy cars per env (shared policy; needs "
+                         "--obs-mode state for per-agent observations)")
     args = ap.parse_args()
+    if args.agents > 1 and args.obs_mode != "state":
+        ap.error("--agents > 1 requires --obs-mode state (pixel obs are "
+                 "agent-0's view only)")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -179,6 +185,7 @@ def main():
         obs_size=args.obs,
         n_traffic=args.traffic,
         obs_mode=args.obs_mode,
+        n_agents=args.agents,
     )
     print(f"built {args.envs} envs in {time.time()-t0:.1f}s", flush=True)
 
