@@ -182,6 +182,26 @@ def test_ppo_train_step_multiagent_state():
     assert rew.shape == (4, 2)
 
 
+@pytest.mark.slow
+def test_sharded_rollout_multiagent_state_bitwise():
+    """rollout_sharded composes with n_agents + state obs: bitwise equal
+    to the unsharded rollout (per-env math untouched by placement)."""
+    from scx.parallel.mesh import make_mesh
+
+    acts = np.zeros((8, 2, 4), np.float32)
+    acts[:, 0, 0] = 0.7
+
+    ref = _env(n_envs=8, obs_mode="state", n_agents=2)
+    obs_ref, rew_ref = ref.rollout(acts, length=2)
+
+    env = _env(n_envs=8, obs_mode="state", n_agents=2)
+    mesh = make_mesh(dp=4, sp=2)
+    (obs_sh, rew_sh), stats = env.rollout_sharded(acts, length=2, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(obs_ref), np.asarray(obs_sh))
+    np.testing.assert_array_equal(np.asarray(rew_ref), np.asarray(rew_sh))
+    assert int(stats["alive"]) == int(jnp.sum(ref.state.alive))
+
+
 def test_bad_args_rejected():
     with pytest.raises(ValueError):
         _env(obs_mode="pixels")
