@@ -4,6 +4,9 @@ examples/train_reinforce.py as a worked loop; the reusable pieces —
 GAE and clipped PPO with a mesh-data-parallel train step — live here."""
 
 from scx.rl.gae import gae
+from scx.rl.gymenv import CityVectorEnv
 from scx.rl.ppo import PPOConfig, make_ppo_train_step, ppo_loss
 
-__all__ = ["gae", "PPOConfig", "make_ppo_train_step", "ppo_loss"]
+__all__ = [
+    "gae", "CityVectorEnv", "PPOConfig", "make_ppo_train_step", "ppo_loss",
+]
