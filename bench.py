@@ -47,8 +47,11 @@ TARGET = 1_000_000.0
 # Secondaries: hard budgets, slow-machine case assumed (round-2 lesson:
 # the driver box ran 4x slower than the dev box and the old 2400-3600 s
 # per-script timeouts starved the primary line entirely).
-SECONDARY_TOTAL_BUDGET_S = 900.0  # ~15 min wall for ALL secondaries
-SECONDARY_SCRIPT_TIMEOUT_S = 480.0  # per-script cap
+SECONDARY_TOTAL_BUDGET_S = 1500.0  # ~25 min wall for ALL secondaries
+SECONDARY_SCRIPT_TIMEOUT_S = 700.0  # per-script cap (rlenv: ~6 min env
+# build+upload at 4096 envs on a 1-cpu box even with a warm compile cache,
+# measured 2026-08-19; the primary line is already out, so a generous cap
+# only risks later secondaries)
 
 # Primary runs in a bounded CHILD process (round-3 lesson: the tunnel
 # FLAPS — a probe can succeed seconds before the real device touch hangs
