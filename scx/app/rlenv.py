@@ -100,11 +100,11 @@ class CityRLEnv:
         # viewProj projection, per-entity culling runs only over the
         # dynamic handful, and the binned width shrinks to the ACTUAL
         # static triangle count instead of capacity x worst mesh.
-        # Opt-in until measured on chip. Note: make_policy_rollout /
-        # make_trajectory_rollout capture the baked columns as a closure
-        # const, which shard_map replicates — use rollout_sharded (which
-        # shards them) for multi-chip; sharded TRAINING with static_bake
-        # needs the baked arg threaded and is not yet supported.
+        # Note: make_policy_rollout / make_trajectory_rollout capture the
+        # baked columns as a closure const by default, which shard_map
+        # replicates — for multi-chip use rollout_sharded (shards them) or
+        # thread_baked=True; scx.rl.make_ppo_train_step(..., mesh=m)
+        # threads the baked arg automatically (pass place(env.baked)).
         static_bake: bool = False,
         # observation mode: "rgbd" renders the agent-0 chase camera
         # ([N,H,W,4], the BASELINE config #5 shape); "state" returns
