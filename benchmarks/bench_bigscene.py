@@ -169,6 +169,9 @@ def main():
             for k in range(sp)
         ],
     )
+    # per-strip allocs duplicate uids across strips; the warm-start cache
+    # keys on them, so make them globally unique
+    sharded = bg.assign_global_uids(sharded)
 
     cfg = EngineConfig(traffic=TrafficConfig(front_ray_length=12.0))
     sim = SimParams(solver=ph.SolverParams(max_pairs=2048, iterations=6))
@@ -186,8 +189,9 @@ def main():
         mesh, cfg, sim, raster, x0=0.0, shard_width=WIDTH,
         halo=14.0, halo_cap=96, mig_cap=48, n_steps=1,
     )
+    caches = bg.empty_shard_caches(mesh, sim.solver.max_pairs)
     t0 = time.time()
-    out, rgb, stats = step1(sharded, lanes, vp)
+    out, caches, rgb, stats = step1(sharded, caches, lanes, vp)
     jax.block_until_ready(rgb)
     print("compile+first: %.1f s" % (time.time() - t0), flush=True)
     print(
@@ -204,12 +208,12 @@ def main():
         mesh, cfg, sim, raster, x0=0.0, shard_width=WIDTH,
         halo=14.0, halo_cap=96, mig_cap=48, n_steps=N,
     )
-    out2, rgb2, cstats = chain(out, lanes, vp)
+    out2, caches2, rgb2, cstats = chain(out, caches, lanes, vp)
     jax.block_until_ready(rgb2)  # compile + warm
     if jax.default_backend() != "cpu":
         time.sleep(60)  # let the remote compile service go quiet (trap 10b)
     t0 = time.time()
-    out2, rgb2, cstats = chain(out, lanes, vp)
+    out2, caches2, rgb2, cstats = chain(out, caches, lanes, vp)
     jax.block_until_ready(rgb2)
     dt = (time.time() - t0) / N
     agents = sp * (n_traffic + n_vehicles)

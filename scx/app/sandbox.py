@@ -344,7 +344,7 @@ class Sandbox:
         # the warm-start cache is shaped by max_pairs; a live change (e.g.
         # 'set physics.max_pairs N') must resize it with the tick or the
         # next frame trips a shape mismatch
-        if self._cache.pair_key.shape[0] != self.sim.solver.max_pairs:
+        if self._cache.key_a.shape[0] != self.sim.solver.max_pairs:
             self._cache = empty_contact_cache(self.sim.solver.max_pairs)
 
     def console(self):

@@ -123,6 +123,7 @@ def make_bigscene_entity_step(
     halo_cap: int = 32,
     mig_cap: int = 16,
     n_steps: int = 1,
+    mig_lo: int = 0,
 ):
     """FULL engine semantics in the spatially-sharded huge scene: traffic
     AI + vehicles (player included) + physics per x-strip, entity rows
@@ -136,22 +137,29 @@ def make_bigscene_entity_step(
          same relaxed-Jacobi argument as scx.parallel.spatial);
       2. traffic_ai_update then physics_sync_step on [local + ghosts]
          (the make_sim_tick system order, scx/app/sandbox.py:120-124),
-         with a cold contact cache (migration invalidates pair keys);
+         with a WARM-STARTED contact cache keyed by entity uid — the
+         persistent identity travels with migrating/ghosted rows, so
+         accumulated impulses survive the row churn that row-index keys
+         would not (Bullet's persistent manifolds across the whole sharded
+         scene, sc_physics.cpp:283-302);
       3. ownership migration via pack/splice of entity rows.
     `lanes` ride replicated (read-only, tiny). Exact equivalence with the
     single-chip step requires halo >= cfg.traffic.front_ray_length plus
     interaction range — the sensor ray must see everything it would see
-    globally.
+    globally. Entity uids must be unique ACROSS shards (a global alloc +
+    reshape gives this for free; per-strip allocs need assign_global_uids).
 
-    Returns jitted f(state [S,N] over 'sp', lanes, view_proj) ->
-    (state', rgb rows over 'sp' | None, stats). With raster=None the
-    render stage is skipped (pure sim, e.g. equivalence tests on the
-    physics+AI semantics).
+    Returns jitted f(state [S,N] over 'sp', cache [S,...] over 'sp',
+    lanes, view_proj) -> (state', cache', rgb rows over 'sp' | None,
+    stats). `cache` is a per-shard ContactCache (stack empty_contact_cache
+    S times, or reuse the returned one); thread it across calls for
+    launch-to-launch warm starting. With raster=None the render stage is
+    skipped (pure sim, e.g. equivalence tests on the physics+AI
+    semantics).
     """
     from jax import shard_map
 
     from scx.parallel.spatial import pack_rows, splice_rows, _neighbor_shift
-    from scx.physics.warmstart import empty_contact_cache
     from scx.physics.world import bodies_from_state, physics_sync_step
     from scx.state import entity as ent
     from scx.traffic.ai import traffic_ai_update
@@ -164,7 +172,7 @@ def make_bigscene_entity_step(
         assert rows_per % raster.tile_h == 0, "strip rows must align to tile_h"
         pool = build_mesh_pool()
 
-    def one_step(s, lanes):
+    def one_step(s, cache, lanes):
         k = jax.lax.axis_index("sp")
         x_lo = x0 + k.astype(jnp.float32) * shard_width
         x_hi = x_lo + shard_width
@@ -197,9 +205,9 @@ def make_bigscene_entity_step(
         bodies = bodies_from_state(combined)
         is_veh = (combined.components & ent.C_VEHICLE) != 0
         combined = traffic_ai_update(combined, lanes, bodies, is_veh, tcfg, dt)
-        cache = empty_contact_cache(sim.solver.max_pairs)
-        combined, _, pstats = physics_sync_step(
-            combined, sim.solver, sim.vehicle, dt, cache
+        combined, cache, pstats = physics_sync_step(
+            combined, sim.solver, sim.vehicle, dt, cache,
+            key_id=combined.uid,
         )
 
         n = s.alive.shape[0]
@@ -213,8 +221,12 @@ def make_bigscene_entity_step(
         s = s.replace(alive=s.alive & ~(mig_l | mig_r))
         in_r = _neighbor_shift(out_l, "sp", -1, n_shards)
         in_l = _neighbor_shift(out_r, "sp", +1, n_shards)
-        s, d1 = splice_rows(s, in_l, field="alive")
-        s, d2 = splice_rows(s, in_r, field="alive")
+        # rows [0, mig_lo) are host-managed (streamed sector spawns);
+        # migrating entities splice past them so a device write can never
+        # race a queued host spawn into the same slot
+        fm = (jnp.arange(n) >= mig_lo) if mig_lo else None
+        s, d1 = splice_rows(s, in_l, field="alive", free_mask=fm)
+        s, d2 = splice_rows(s, in_r, field="alive", free_mask=fm)
 
         stats = {
             "alive": jnp.sum(s.alive.astype(jnp.int32)),
@@ -224,7 +236,7 @@ def make_bigscene_entity_step(
             "migration_dropped": ml + mr + d1 + d2,
             "pair_overflow": pstats["pair_overflow"],
         }
-        return s, stats
+        return s, cache, stats
 
     def render_strip(s, vp):
         gather = lambda a: jax.lax.all_gather(a, "sp").reshape(
@@ -238,12 +250,13 @@ def make_bigscene_entity_step(
         row0 = jax.lax.axis_index("sp") * rows_per
         return render_frame_rows(draws, pool, vp, raster, row0, rows_per)
 
-    def local(state_slice, lanes, vp):
+    def local(state_slice, cache_slice, lanes, vp):
         s = jax.tree.map(lambda a: a[0], state_slice)
+        cache = jax.tree.map(lambda a: a[0], cache_slice)
 
         def body(carry, _):
-            st, _, _ = carry
-            st, stats = one_step(st, lanes)
+            st, ca, _, _ = carry
+            st, ca, stats = one_step(st, ca, lanes)
             if raster is not None:
                 # render every chained step (composed sim+render cost);
                 # decimated sum keeps the frame from being DCE'd
@@ -251,42 +264,59 @@ def make_bigscene_entity_step(
                 sink = rgb[::16, ::16].sum()
             else:
                 sink = jnp.float32(0)
-            return (st, stats, sink), None
+            return (st, ca, stats, sink), None
 
-        s, stats = one_step(s, lanes)
+        s, cache, stats = one_step(s, cache, lanes)
         sink = jnp.float32(0)
         if n_steps > 1:
-            (s, stats, sink), _ = jax.lax.scan(
-                body, (s, stats, sink), None, length=n_steps - 1
+            (s, cache, stats, sink), _ = jax.lax.scan(
+                body, (s, cache, stats, sink), None, length=n_steps - 1
             )
         stats = jax.tree.map(lambda v: jax.lax.psum(v, "sp"), stats)
 
+        lift = lambda t: jax.tree.map(lambda a: a[None], t)
         if raster is None:
-            return jax.tree.map(lambda a: a[None], s), stats
+            return lift(s), lift(cache), stats
 
         rgb, _, rstats = render_strip(s, vp)
         stats["tile_overflow"] = jax.lax.psum(rstats["tile_overflow"], "sp")
         stats["rgb_sink"] = sink + rgb[::16, ::16].sum()
-        return jax.tree.map(lambda a: a[None], s), rgb, stats
+        return lift(s), lift(cache), rgb, stats
 
     if raster is None:
-        def sim_only(state_slice, lanes, vp):
-            return local(state_slice, lanes, vp)
-
         fn = shard_map(
-            sim_only, mesh=mesh,
-            in_specs=(P("sp"), P(), P()),
-            out_specs=(P("sp"), P()),
+            local, mesh=mesh,
+            in_specs=(P("sp"), P("sp"), P(), P()),
+            out_specs=(P("sp"), P("sp"), P()),
             check_vma=False,
         )
     else:
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P("sp"), P(), P()),
-            out_specs=(P("sp"), P("sp", None, None), P()),
+            in_specs=(P("sp"), P("sp"), P(), P()),
+            out_specs=(P("sp"), P("sp"), P("sp", None, None), P()),
             check_vma=False,
         )
     return jax.jit(fn)
+
+
+def empty_shard_caches(mesh, max_pairs: int):
+    """[S]-stacked empty ContactCaches, one per 'sp' shard — the initial
+    `cache` argument of make_bigscene_entity_step."""
+    from scx.physics.warmstart import empty_contact_cache
+
+    s = mesh.shape["sp"]
+    one = empty_contact_cache(max_pairs)
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape), one)
+
+
+def assign_global_uids(sharded_state):
+    """Re-tag a [S,N] sharded EntityState with globally unique uids
+    (shard*N + slot). A global alloc_entity_state + reshape already has
+    unique uids; use this for states assembled per-strip."""
+    s, n = sharded_state.alive.shape[:2]
+    uid = jnp.arange(s * n, dtype=jnp.int32).reshape(s, n)
+    return sharded_state.replace(uid=uid)
 
 
 def make_bigscene_chain(mesh, params, raster, x0, shard_width, n_steps,

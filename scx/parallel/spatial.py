@@ -65,14 +65,21 @@ def pack_rows(bodies, mask, cap: int, field: str = "active"):
     return packed, dropped
 
 
-def splice_rows(local, incoming, field: str = "active"):
+def splice_rows(local, incoming, field: str = "active", free_mask=None):
     """Write incoming active rows into the first free local slots.
+
+    free_mask (optional [N] bool) restricts which slots count as free —
+    a streamed bigscene reserves rows [0, mig_lo) for host-managed sector
+    spawns, so device migration must splice past them
+    (scx.parallel.streamed_bigscene).
 
     Returns (local', dropped) — dropped counts incoming rows that found no
     free slot (capacity pressure, surfaced in stats)."""
     n = getattr(local, field).shape[0]
     m = getattr(incoming, field).shape[0]
     free = ~getattr(local, field)
+    if free_mask is not None:
+        free = free & free_mask
     # index of the k-th free slot, k < m (scatter-rank over free slots)
     frank = jnp.cumsum(free.astype(jnp.int32)) - 1
     fslot = jnp.where(free, jnp.minimum(frank, m), m)

@@ -378,11 +378,15 @@ def solve_velocity(bodies: RigidBodies, contacts, params: SolverParams, lam0=Non
     return vw[:, 0:3], vw[:, 3:6], lam, cnt
 
 
-def step_bodies_cached(bodies: RigidBodies, params: SolverParams, cache):
+def step_bodies_cached(bodies: RigidBodies, params: SolverParams, cache,
+                       key_id=None):
     """One fixed physics step with warm starting and sleeping:
     integrate forces -> contacts -> warm-started solve -> sleep -> move.
 
     cache: ContactCache from the previous step (scx.physics.warmstart).
+    key_id: optional [N] i32 persistent per-body identity — cache keys use
+    it instead of row indices, so warm impulses survive row reshuffling
+    (spatial-shard migration + ghost churn, scx/parallel/bigscene.py).
     Returns (bodies, cache, stats) where stats surfaces capacity overflow
     (pair_overflow > 0 means the scene is dropping contacts — raise
     max_pairs) and contact counts. Pure and shape-static; vmap over scenes,
@@ -394,7 +398,7 @@ def step_bodies_cached(bodies: RigidBodies, params: SolverParams, cache):
     ia, ib, pair_valid, n_cand = broadphase_pairs(bodies, params.max_pairs)
     contacts = generate_contacts(bodies, ia, ib, pair_valid)
     lam0 = gather_warm_impulses(
-        cache, ia, ib, pair_valid, contacts.cand, bodies.n
+        cache, ia, ib, pair_valid, contacts.cand, bodies.n, key_id
     )
     vel, omega, lam, cnt = solve_velocity(bodies, contacts, params, lam0)
 
@@ -413,7 +417,8 @@ def step_bodies_cached(bodies: RigidBodies, params: SolverParams, cache):
     bodies = bodies.replace(vel=vel, omega=omega, sleep_timer=timer)
 
     cache = store_impulses(
-        cache, ia, ib, pair_valid, contacts.cand, lam, contacts.valid, bodies.n
+        cache, ia, ib, pair_valid, contacts.cand, lam, contacts.valid,
+        bodies.n, key_id,
     )
     stats = {
         "pairs": jnp.sum(pair_valid.astype(jnp.int32)),

@@ -181,21 +181,25 @@ def physics_sync_step(
     dt,
     cache,
     max_vehicles: int = MAX_VEHICLES,
+    key_id=None,
 ):
     """One fixed step: vehicle pre-step -> warm-started solver step ->
     write back. Returns (state, cache, stats).
 
     `cache` is the contact warm-start cache (scx.physics.warmstart),
-    threaded across steps by the caller; `stats` surfaces pair/contact
-    counts and capacity overflow. `vparams` supplies the static bits only
-    (wheel_width for geometry helpers); the dynamic tuning each vehicle
-    drives with comes from its own EntityState columns (per-entity live
-    tuning, updateVehicleTuning parity — sc_physics.cpp:970-1013)."""
+    threaded across steps by the caller; `key_id` optionally keys it by a
+    persistent identity column (e.g. state.uid) instead of row indices —
+    required when rows reshuffle between steps (spatial-shard migration).
+    `stats` surfaces pair/contact counts and capacity overflow. `vparams`
+    supplies the static bits only (wheel_width for geometry helpers); the
+    dynamic tuning each vehicle drives with comes from its own EntityState
+    columns (per-entity live tuning, updateVehicleTuning parity —
+    sc_physics.cpp:970-1013)."""
     del vparams  # per-entity tuning columns are authoritative
     bodies = bodies_from_state(state)
     state, bodies, v_idx = vehicle_prestep(state, bodies, dt, max_vehicles)
 
-    bodies, cache, pstats = step_bodies_cached(bodies, params, cache)
+    bodies, cache, pstats = step_bodies_cached(bodies, params, cache, key_id)
     state = write_back(state, bodies)
 
     # record vehicle speeds into traffic.speed for the AI's P-control

@@ -150,6 +150,13 @@ class EntityState:
 
     alive: jax.Array        # [N] bool
     generation: jax.Array   # [N] u32
+    # persistent identity: unlike (slot, generation) handles, uid travels
+    # WITH the entity row through cross-shard migration/ghost packing
+    # (scx/parallel/bigscene.py) — the warm-start cache keys on it. Defaults
+    # to the slot index (identical to row keying in fixed single-chip
+    # scenes); spatially-sharded scenes re-tag with globally unique ids
+    # (scx.parallel.bigscene.assign_global_uids).
+    uid: jax.Array          # [N] i32
     components: jax.Array   # [N] u32 bitmask of C_*
     sector: jax.Array       # [N,2] i32 owning sector coord
     name_hash: jax.Array    # [N] u64-as-2xu32? use u32 fnv fold — [N] u32
@@ -176,6 +183,7 @@ def alloc_entity_state(capacity: int) -> EntityState:
     state = EntityState(
         alive=jnp.zeros((n,), jnp.bool_),
         generation=jnp.zeros((n,), jnp.uint32),
+        uid=jnp.arange(n, dtype=jnp.int32),
         components=jnp.zeros((n,), jnp.uint32),
         sector=jnp.zeros((n, 2), jnp.int32),
         name_hash=jnp.zeros((n,), jnp.uint32),

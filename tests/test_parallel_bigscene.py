@@ -253,30 +253,31 @@ def test_bigscene_entity_step_matches_single_chip():
     sharded = jax.tree.map(
         lambda a: a.reshape((S_E, N_LOC) + a.shape[1:]), s0
     )
+    caches = bg.empty_shard_caches(mesh, sim.solver.max_pairs)
     n_steps = 40
     migrated = 0
     for _ in range(n_steps):
-        sharded, stats = step(sharded, lanes, None)
+        sharded, caches, stats = step(sharded, caches, lanes, None)
         migrated += int(stats["migrated"])
         assert int(stats["halo_dropped"]) == 0
         assert int(stats["migration_dropped"]) == 0
     assert migrated > 0, "nothing crossed a strip boundary"
 
-    # single-chip reference: same system order, same cold cache per step
+    # single-chip reference: same system order, warm-started the same way
     @jax.jit
-    def ref_step(s):
+    def ref_step(s, cache):
         bodies = bodies_from_state(s)
         is_veh = (s.components & st.C_VEHICLE) != 0
         s = traffic_ai_update(s, lanes, bodies, is_veh, cfg.traffic, dt)
-        s, _, _ = physics_sync_step(
-            s, sim.solver, sim.vehicle, dt,
-            empty_contact_cache(sim.solver.max_pairs),
+        s, cache, _ = physics_sync_step(
+            s, sim.solver, sim.vehicle, dt, cache, key_id=s.uid,
         )
-        return s
+        return s, cache
 
     ref = s0
+    ref_cache = empty_contact_cache(sim.solver.max_pairs)
     for _ in range(n_steps):
-        ref = ref_step(ref)
+        ref, ref_cache = ref_step(ref, ref_cache)
 
     def rows(state, extra):
         pos = np.asarray(state.transform.pos).reshape(-1, 3)
