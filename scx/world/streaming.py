@@ -125,6 +125,10 @@ class WorldPartition:
         self.authored_spawners: dict[tuple, list] = {}
         self.stats = StreamingStats()
         self.frozen = False  # debug: freeze streaming (sc_world_partition.h:325)
+        # optional coord -> bool ownership predicate: a partition that
+        # covers only part of the world (spatial shard strips,
+        # scx.parallel.streamed_bigscene) loads only its own sectors
+        self.sector_filter = None
 
     # ------------------------------------------------------------------
     def world_to_sector(self, pos) -> tuple:
@@ -285,6 +289,8 @@ class WorldPartition:
             for c in self.pinned:
                 if c not in desired:
                     desired.append(c)
+            if self.sector_filter is not None:
+                desired = [c for c in desired if self.sector_filter(c)]
             st.desired_sectors = len(desired)
             desired.sort(
                 key=lambda c: (
@@ -420,7 +426,7 @@ class WorldPartition:
             slots = [s for s, _ in batch]
             kill = np.zeros(self.capacity, bool)
             kill[slots] = True
-            state = _destroy_jit(state, jnp.asarray(kill))
+            state = self._destroy_on_device(state, jnp.asarray(kill))
             self._alive[slots] = False
             self._free.extend(slots)
             self._free.sort(reverse=True)
@@ -552,6 +558,12 @@ class WorldPartition:
                 for k, v in cols.items()
             }
         return cols
+
+    def _destroy_on_device(self, state, kill):
+        """Masked despawn on the device state (override point: a spatial
+        shard strip writes into its row of a [S,N] sharded state instead —
+        scx.parallel.streamed_bigscene.StripPartition)."""
+        return _destroy_jit(state, kill)
 
     def _spawn_on_device(self, state, sec: _Sector, slots):
         """Scatter a sector's spawn records into the device state. Uses the
