@@ -114,10 +114,11 @@ class CityRLEnv:
         obs_mode: str = "rgbd",
         # policy-controlled cars per env. Agent 0 is THE player (chase
         # camera, back-compat [N,4] actions when n_agents == 1); extras
-        # spawn staggered behind it. actions become [N, K, 4] and rewards
-        # [N, K] when K > 1. Pixel obs stay agent-0's view (K cameras
-        # would K-fold the raster cost); use obs_mode="state" for
-        # per-agent observations.
+        # spawn staggered behind it. actions become [N, K, 4], rewards
+        # [N, K] and rgbd obs [N, K, H, W, 4] when K > 1 (K chase cameras
+        # folded into the batched raster's env axis — K-fold raster cost,
+        # measured in benchmarks/bench_rlenv.py RL_AGENTS=K); obs_mode=
+        # "state" gives per-agent vectors with no raster at all.
         n_agents: int = 1,
     ):
         self.n_envs = n_envs
@@ -425,12 +426,14 @@ class CityRLEnv:
         return jax.jit(merge)(batch)
 
     # ------------------------------------------------------------------
-    def _camera_vp(self, state):
-        """Chase-view viewProj for one env (camera behind the player)."""
+    def _camera_vp(self, state, slot=None):
+        """Chase-view viewProj for one env (camera behind `slot`, default
+        the player / agent 0)."""
         from scx.render.camera import camera_view_proj
 
-        ppos = state.transform.pos[self.player]
-        prot = state.transform.rot[self.player]
+        slot = self.player if slot is None else slot
+        ppos = state.transform.pos[slot]
+        prot = state.transform.rot[slot]
         fwd = m3.quat_rotate(prot, jnp.asarray([0.0, 0.0, 1.0]))
         fwd = m3.safe_normalize(
             fwd * jnp.asarray([1.0, 0.0, 1.0]), jnp.asarray([0.0, 0.0, 1.0])
@@ -444,16 +447,16 @@ class CityRLEnv:
             params=CameraParams(fov_y_deg=70.0),
         )
 
-    def _render_one(self, state):
+    def _render_one(self, state, slot=None):
         """Per-env triangle setup, full path (cull + emit + setup)."""
-        vp = self._camera_vp(state)
+        vp = self._camera_vp(state, slot)
         visible, mats = cull_entities(state, vp)
         # max_tris was right-sized for the draw budget x worst pool mesh,
         # so no headroom is wasted (budget defaults to the capacity)
         draws = emit_draws(state, visible, mats, self.draw_budget)
         return setup_triangles(draws, self.pool, vp, self.raster)
 
-    def _render_one_baked(self, state, baked):
+    def _render_one_baked(self, state, baked, slot=None):
         """Per-env triangle setup, static-bake path: scenery projects from
         baked world-space columns (one viewProj multiply); only the dynamic
         handful (traffic + player) goes through cull/emit/setup. Triangle
@@ -461,7 +464,7 @@ class CityRLEnv:
         draw order, so binned output is identical up to fp association."""
         from scx.render import staticbake as sb
 
-        vp = self._camera_vp(state)
+        vp = self._camera_vp(state, slot)
         s_setup, s_aabb, s_valid = sb.setup_static_from_bake(
             baked, vp, self._params_static
         )
@@ -478,23 +481,51 @@ class CityRLEnv:
         )
 
     def _render_obs_batched(self, batch, baked=None):
-        """RGB-D observations [N,H,W,4] for the whole batch.
+        """RGB-D observations for the whole batch: [N,H,W,4], or
+        [N,K,H,W,4] with n_agents=K>1 (one chase camera per agent).
 
         Binning happens OUTSIDE the per-env vmap: its rank-recovery scatter
         lowers ~50x slower as a batched scatter than as one folded 2D
         scatter. raster_gbuffer_batched dispatches cluster vs triangle
         binning on raster.use_clusters (cluster kernel for big GLB scenes).
+
+        Multi-agent folds the K cameras into the batched raster's env axis
+        (setup is [N,K,T,...] -> [N*K,T,...]): the binner/kernel are
+        env-batched already, so K views cost exactly K-fold the raster —
+        no new code path. Geometry setup also runs per camera (culling is
+        view-dependent).
         """
         from scx.render.pipeline import raster_gbuffer_batched
 
+        k = self.n_agents
         if baked is not None:
-            setup, aabb, valid = jax.vmap(self._render_one_baked)(batch, baked)
             params = self._params_bin
+            if k == 1:
+                setup, aabb, valid = jax.vmap(self._render_one_baked)(
+                    batch, baked
+                )
+            else:
+                per_agent = lambda s, b: jax.vmap(
+                    lambda slot: self._render_one_baked(s, b, slot)
+                )(self.agent_slots)
+                setup, aabb, valid = jax.vmap(per_agent)(batch, baked)
         else:
-            setup, aabb, valid = jax.vmap(self._render_one)(batch)
             params = self.raster
+            if k == 1:
+                setup, aabb, valid = jax.vmap(self._render_one)(batch)
+            else:
+                per_agent = lambda s: jax.vmap(
+                    lambda slot: self._render_one(s, slot)
+                )(self.agent_slots)
+                setup, aabb, valid = jax.vmap(per_agent)(batch)
+        if k > 1:  # fold [N,K,...] -> [N*K,...] for the env-batched raster
+            fold = lambda a: a.reshape((-1,) + a.shape[2:])
+            setup, aabb, valid = fold(setup), fold(aabb), fold(valid)
         g, _rstats = raster_gbuffer_batched(setup, aabb, valid, params)
-        return jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
+        obs = jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
+        if k > 1:
+            obs = obs.reshape((-1, k) + obs.shape[1:])
+        return obs
 
     # per-agent state-observation layout (obs_mode="state"):
     #   0:3  world-frame velocity        9:11 look-ahead target (xz, rel)
@@ -664,8 +695,13 @@ class CityRLEnv:
                 if self.n_agents == 1
                 else (self.n_envs, self.n_agents, self.STATE_OBS_DIM)
             )
-        else:
+        elif self.n_agents == 1:
             shape = (self.n_envs, self.raster.height, self.raster.width, 4)
+        else:
+            shape = (
+                self.n_envs, self.n_agents,
+                self.raster.height, self.raster.width, 4,
+            )
         return np.zeros(shape, np.float32)
 
     def step(self, actions):

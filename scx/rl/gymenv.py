@@ -43,7 +43,8 @@ class CityVectorEnv:
                 (env.STATE_OBS_DIM,) if k == 1 else (k, env.STATE_OBS_DIM)
             )
         else:
-            self.obs_shape = (env.raster.height, env.raster.width, 4)
+            hw4 = (env.raster.height, env.raster.width, 4)
+            self.obs_shape = hw4 if k == 1 else (k,) + hw4
         # gym-style bounds: throttle/brake/handbrake in [0,1], steer [-1,1]
         low = np.asarray([0.0, 0.0, -1.0, 0.0], np.float32)
         high = np.ones((4,), np.float32)
@@ -88,8 +89,9 @@ class CityVectorEnv:
         import jax
 
         rgb = jax.jit(self.env._render_obs_batched)(self.env.state)
+        frame = rgb[0, 0] if self.env.n_agents > 1 else rgb[0]
         return np.asarray(
-            np.clip(rgb[0, :, :, :3] * 255, 0, 255).astype(np.uint8)
+            np.clip(frame[:, :, :3] * 255, 0, 255).astype(np.uint8)
         )
 
     def close(self):

@@ -70,11 +70,51 @@ def test_multiagent_distinct_controls_distinct_rewards():
     assert (r[:, 0] > r[:, 1:].max(axis=-1)).all()
 
 
-def test_multiagent_rgbd_keeps_agent0_camera():
+def test_multiagent_rgbd_per_agent_cameras():
+    """K>1 rgbd: [N,K,H,W,4], one chase camera per agent, and each
+    agent's image matches the single-camera render from its own pose to
+    fp-association noise (the K views fold into the batched raster's env
+    axis; the inner vmap over slots refuses bitwise identity by ~1 ulp)."""
     env = _env(n_agents=2)
+    assert env.reset().shape == (4, 2, 32, 32, 4)
     obs, rew = env.step(np.zeros((4, 2, 4), np.float32))
-    assert obs.shape == (4, 32, 32, 4)
+    assert obs.shape == (4, 2, 32, 32, 4)
     assert rew.shape == (4, 2)
+    # reference: render the SAME post-step state once per agent slot via
+    # the single-camera path (independent N-wide batched raster calls)
+    from scx.render.pipeline import raster_gbuffer_batched
+
+    for j in range(2):
+        slot = env.agent_slots[j]
+        setup, aabb, valid = jax.jit(
+            jax.vmap(lambda s: env._render_one(s, slot))
+        )(env.state)
+        g, _ = raster_gbuffer_batched(setup, aabb, valid, env.raster)
+        want = np.asarray(
+            jnp.concatenate([g["color"], g["depth"][..., None]], axis=-1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(obs)[:, j], want, atol=1e-5
+        )
+    # the two views differ (cameras sit behind different cars)
+    assert not np.array_equal(np.asarray(obs)[:, 0], np.asarray(obs)[:, 1])
+
+
+def test_multiagent_rgbd_static_bake_matches_full_path():
+    """K>1 rgbd composes with static_bake: baked scenery + per-agent
+    cameras equals the unbaked path per agent."""
+    env = _env(n_agents=2)
+    envb = _env(n_agents=2, static_bake=True)
+    acts = np.zeros((4, 2, 4), np.float32)
+    acts[:, :, 0] = 0.7
+    for _ in range(2):
+        obs, _ = env.step(acts)
+        obsb, _ = envb.step(acts)
+    # 2e-2 is the established bake-vs-full image tolerance
+    # (tests/test_render_staticbake.py): projection association differs
+    np.testing.assert_allclose(
+        np.asarray(obs), np.asarray(obsb), atol=2e-2
+    )
 
 
 def test_state_obs_policy_rollout_trains_shape():
