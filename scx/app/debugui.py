@@ -72,10 +72,15 @@ class DebugConsole:
             if op == "help":
                 return (
                     "pause | freeze | overlay | save PATH | load PATH | "
+                    "assets [bind MAT TEX] | "
                     "set G.F V | get G.F | "
                     "inspect N | raycast x y z dx dy dz | groups: "
                     + " ".join(self._targets()) + " vehicle"
                 )
+            if op == "assets":
+                if len(parts) >= 4 and parts[1].lower() == "bind":
+                    return self.assets_bind(parts[2], parts[3])
+                return self.assets_list()
             if op == "save":
                 ok = self.sb.save_game(parts[1])
                 return f"saved -> {parts[1]}" if ok else "save failed"
@@ -113,6 +118,57 @@ class DebugConsole:
         except (KeyError, AttributeError, IndexError, ValueError) as e:
             return f"error: {e!r} (try 'help')"
         return f"unknown command {op!r} (try 'help')"
+
+    def assets_list(self) -> str:
+        """Browsable asset panel: resident/queued textures + the material
+        table with its current bindings (the reference DebugUI's asset
+        browser, sc_imgui.cpp:149-158)."""
+        am = self.sb.assets
+        lines = [
+            f"textures ({len(am.textures)}), frame {am.frame}:"
+        ]
+        for aid, rec in sorted(am.textures.items(), key=lambda kv: kv[1].slot):
+            name = getattr(rec, "path", None) or f"id:{aid:#010x}"
+            state = f"slot {rec.slot}" if rec.slot >= 0 else "queued"
+            flags = "".join(
+                c for c, on in (
+                    ("P", rec.pinned), ("D", rec.from_disk), ("S", rec.srgb)
+                ) if on
+            )
+            lines.append(
+                f"  {aid:#010x} {state:>8} lru {rec.last_used_frame:>5}"
+                f" [{flags:<3}] {name}"
+            )
+        lines.append(f"materials ({len(am._material_slots)}):")
+        for slot, maid in enumerate(am._material_slots):
+            m = am.materials[maid]
+            tex = m["albedo"]
+            rec = am.textures.get(tex)
+            bound = (
+                f"tex {tex:#010x} (slot {rec.slot})" if rec is not None
+                else ("white" if not tex else f"tex {tex:#010x} (not loaded)")
+            )
+            lines.append(
+                f"  mat {slot}: {bound} tint {m['tint']}"
+                f" {'unlit' if m.get('unlit') else 'lit'}"
+            )
+        lines.append("bind: assets bind MAT_SLOT TEX_ID|name")
+        return "\n".join(lines)
+
+    def assets_bind(self, mat: str, tex: str) -> str:
+        """Live material->texture rebinding (the asset panel's texture
+        selection)."""
+        from scx.core.prng import asset_id_from_path
+
+        am = self.sb.assets
+        mslot = int(mat)
+        try:
+            tid = int(tex, 0)
+        except ValueError:
+            tid = asset_id_from_path(tex)
+        if am.rebind_material(mslot, tid):
+            return f"mat {mslot} -> tex {tid:#010x}"
+        return f"bind failed (mat {mat}, tex {tex} unknown)"
 
     def get(self, path: str):
         group, field = path.split(".", 1)

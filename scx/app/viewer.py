@@ -15,8 +15,17 @@ import os
 import numpy as np
 
 
-def save_frame(path: str, rgb) -> str:
-    arr = np.clip(np.asarray(rgb) * 255.0, 0, 255).astype(np.uint8)
+def save_frame(path: str, rgb, srgb: bool = True) -> str:
+    """Write a linear-light frame to PNG/PPM. srgb=True applies the display
+    transfer (the swapchain's implicit sRGB encode in the reference's
+    present path — sc_assets.cpp:600 renders into an sRGB target);
+    srgb=False dumps raw values (debug/AOV sinks)."""
+    from scx.assets.textures import linear_to_srgb
+
+    arr = np.asarray(rgb)
+    if srgb:
+        arr = np.asarray(linear_to_srgb(arr))
+    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     try:
         from PIL import Image
 
@@ -39,12 +48,17 @@ def scripted_input(frame: int) -> tuple:
     return (0.8, 0.0, steer, 0.0)
 
 
-def frame_to_ansi(rgb, cols: int = 100) -> str:
+def frame_to_ansi(rgb, cols: int = 100, srgb: bool = True) -> str:
     """Terminal rendering: half-block chars, 2 pixels per cell, 24-bit color.
 
     The interactive stand-in for the reference's SDL window — works over
-    any ssh terminal."""
-    arr = np.clip(np.asarray(rgb) * 255.0, 0, 255).astype(np.uint8)
+    any ssh terminal. Applies the display sRGB encode like save_frame."""
+    from scx.assets.textures import linear_to_srgb
+
+    arr = np.asarray(rgb)
+    if srgb:
+        arr = np.asarray(linear_to_srgb(arr))
+    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     h, w = arr.shape[:2]
     rows = max(2, int(cols * h / w / 2) * 2)
     ys = (np.arange(rows) * h // rows).clip(0, h - 1)

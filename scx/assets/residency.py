@@ -55,6 +55,9 @@ class _TexRecord:
     pinned: bool = False
     from_disk: bool = True
     bytes: int = 0
+    # sRGB-encoded color art decodes to linear light at load, mirroring the
+    # reference's RGBA8_SRGB vs UNORM upload split (sc_assets.cpp:197-198)
+    srgb: bool = True
 
 
 class AssetManager:
@@ -98,15 +101,17 @@ class AssetManager:
         self._pool_dirty = True
 
     # -- textures ------------------------------------------------------
-    def load_texture(self, path: str, pinned: bool = False) -> int:
+    def load_texture(self, path: str, pinned: bool = False,
+                     srgb: bool = True) -> int:
         """Returns texture asset id; queues the pixels for upload
-        (loadTexture2D, sc_assets.cpp:255-298)."""
+        (loadTexture2D, sc_assets.cpp:255-298). srgb=False loads data
+        textures raw (the UNORM half of the reference's format split)."""
         asset_id = asset_id_from_path(path)
         if asset_id in self.textures:
             self.stats.cache_hits += 1
             return asset_id
         self.stats.cache_misses += 1
-        rec = _TexRecord(asset_id=asset_id, slot=-1, pinned=pinned)
+        rec = _TexRecord(asset_id=asset_id, slot=-1, pinned=pinned, srgb=srgb)
         rec.path = path  # type: ignore[attr-defined]
         self.textures[asset_id] = rec
         self._load_queue.append(asset_id)
@@ -165,7 +170,7 @@ class AssetManager:
                 full = path if os.path.isabs(path) else os.path.join(
                     self.asset_root or ".", path
                 )
-                img = tex.load_image(full)
+                img = tex.load_image(full, srgb=rec.srgb)
             if img is not None:
                 decoded[i] = tex.resample_to(img, self.slot_size)
 
@@ -187,13 +192,13 @@ class AssetManager:
             rec.last_used_frame = self.frame
             self.stats.loads_completed += 1
 
-    def _decode_path(self, path: str | None) -> np.ndarray | None:
+    def _decode_path(self, path: str | None, srgb: bool = True) -> np.ndarray | None:
         if not path:
             return None
         full = path if os.path.isabs(path) else os.path.join(
             self.asset_root or ".", path
         )
-        img = tex.load_image(full)
+        img = tex.load_image(full, srgb=srgb)
         return None if img is None else tex.resample_to(img, self.slot_size)
 
     def reload_texture(self, asset_id: int) -> bool:
@@ -211,7 +216,7 @@ class AssetManager:
                 self._load_queue.append(asset_id)
                 self.stats.loads_queued += 1
             return False
-        img = self._decode_path(getattr(rec, "path", None))
+        img = self._decode_path(getattr(rec, "path", None), srgb=rec.srgb)
         if img is None:
             img = tex.resample_to(tex.fallback_texture(), self.slot_size)
             self.stats.fallback_binds += 1
@@ -293,6 +298,20 @@ class AssetManager:
     def material_slot(self, asset_id: int) -> int:
         rec = self.materials.get(asset_id)
         return rec["slot"] if rec else 0
+
+    def rebind_material(self, material_slot: int, texture_id: int) -> bool:
+        """Live albedo rebinding — the asset panel's texture selection in
+        the reference DebugUI (sc_imgui.cpp:149-158). The next
+        device_materials() build picks it up (non-resident textures bind
+        the fallback slot as usual). Returns False for a bad slot/id."""
+        if not (0 <= material_slot < len(self._material_slots)):
+            return False
+        if texture_id and texture_id not in self.textures:
+            return False
+        self.materials[self._material_slots[material_slot]]["albedo"] = texture_id
+        if texture_id:
+            self.touch(texture_id)
+        return True
 
     # -- per-frame -----------------------------------------------------
     def begin_frame(self):

@@ -51,17 +51,49 @@ def load_ppm(path: str) -> np.ndarray | None:
         return None
 
 
-def load_image(path: str) -> np.ndarray | None:
-    """Any supported image -> float32 [H,W,3]; PPM natively, rest via PIL."""
-    if path.lower().endswith(".ppm"):
-        return load_ppm(path)
-    try:
-        from PIL import Image
+def srgb_to_linear(img: np.ndarray) -> np.ndarray:
+    """IEC 61966-2-1 decode: sRGB-encoded [0,1] -> linear light.
 
-        img = Image.open(path).convert("RGB")
-        return np.asarray(img, np.float32) / 255.0
-    except Exception:
-        return None
+    The reference uploads color art as VK_FORMAT_R8G8B8A8_SRGB so the GPU
+    samples in linear light (sc_assets.cpp:197-198); a float pipeline does
+    the same transfer explicitly at decode time."""
+    img = np.asarray(img, np.float32)
+    return np.where(
+        img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+    ).astype(np.float32)
+
+
+def linear_to_srgb(img) -> "np.ndarray":
+    """Inverse transfer for the display sink (the swapchain's implicit
+    sRGB encode in the reference's present path). Works on numpy or jax
+    arrays; returns the same family."""
+    xp = np
+    if not isinstance(img, np.ndarray):  # jax array: stay on device
+        import jax.numpy as xp  # type: ignore[no-redef]
+    img = xp.clip(img, 0.0, 1.0)
+    return xp.where(
+        img <= 0.0031308, img * 12.92, 1.055 * img ** (1.0 / 2.4) - 0.055
+    )
+
+
+def load_image(path: str, srgb: bool = False) -> np.ndarray | None:
+    """Any supported image -> float32 [H,W,3]; PPM natively, rest via PIL.
+    srgb=True decodes the stored values to linear light (color/albedo art;
+    data textures stay raw)."""
+    if path.lower().endswith(".ppm"):
+        img = load_ppm(path)
+    else:
+        try:
+            from PIL import Image
+
+            img = np.asarray(
+                Image.open(path).convert("RGB"), np.float32
+            ) / 255.0
+        except Exception:
+            return None
+    if img is not None and srgb:
+        img = srgb_to_linear(img)
+    return img
 
 
 def fallback_texture(size: int = 64) -> np.ndarray:

@@ -191,7 +191,9 @@ def test_hot_reload_texture(tmp_path):
     slot = am.textures[tid].slot
     assert slot >= 0
     before = np.asarray(am.device_pool())[slot].copy()
-    np.testing.assert_allclose(before.mean(), 10 / 255.0, atol=2e-2)
+    np.testing.assert_allclose(
+        before.mean(), tx.srgb_to_linear(np.float32(10 / 255.0)), atol=2e-2
+    )
 
     # rewrite the file with new pixels and a strictly newer mtime
     _write_ppm(tmp_path / "wall.ppm", 250)
@@ -201,7 +203,9 @@ def test_hot_reload_texture(tmp_path):
     assert reloaded == [tid]
     assert am.stats.reloads == 1
     after = np.asarray(am.device_pool())[slot]
-    np.testing.assert_allclose(after.mean(), 250 / 255.0, atol=2e-2)
+    np.testing.assert_allclose(
+        after.mean(), tx.srgb_to_linear(np.float32(250 / 255.0)), atol=2e-2
+    )
     # material still binds the same (refreshed) slot
     mats = am.device_materials()
     assert int(mats.texture_id[mat]) == slot
@@ -225,3 +229,41 @@ def test_hot_reload_removed_file_evicts(tmp_path):
     assert tid not in am.textures
     mats = am.device_materials()
     assert int(mats.texture_id[mat]) == FALLBACK_SLOT
+
+
+def test_srgb_decode_and_sink_roundtrip(tmp_path):
+    """Color art decodes sRGB->linear at load (sc_assets.cpp:197-198 format
+    split) and the display sink re-encodes; a data texture loads raw."""
+    # stored sRGB value 128/255 ~0.502 -> linear ~0.2158
+    _write_ppm(tmp_path / "gray.ppm", 128)
+    img_lin = tx.load_image(str(tmp_path / "gray.ppm"), srgb=True)
+    img_raw = tx.load_image(str(tmp_path / "gray.ppm"), srgb=False)
+    assert abs(float(img_raw[0, 0, 0]) - 128 / 255) < 1e-6
+    assert abs(float(img_lin[0, 0, 0]) - 0.2158) < 1e-3
+    # exact roundtrip through the transfer pair
+    v = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8, 1)
+    rt = tx.srgb_to_linear(np.asarray(tx.linear_to_srgb(v)))
+    np.testing.assert_allclose(rt, v, atol=1e-5)
+
+    # residency honors the per-texture flag
+    am = AssetManager(asset_root=str(tmp_path), pool_slots=8, slot_size=8)
+    t_color = am.load_texture("gray.ppm")            # srgb default
+    t_data = am.load_texture("gray.ppm", srgb=False)  # same pixels, raw
+    assert t_color == t_data  # same path -> same id: first record wins
+    am.begin_frame()
+    pool = np.asarray(am.device_pool())
+    slot = am.textures[t_color].slot
+    assert abs(pool[slot, 0, 0, 0] - 0.2158) < 1e-3
+
+    # sink: a linear frame encodes back to the stored value
+    from scx.app.viewer import save_frame
+
+    frame = np.full((4, 4, 3), 0.2158, np.float32)
+    p = save_frame(str(tmp_path / "out"), frame)
+    if p.endswith(".ppm"):
+        data = open(p, "rb").read()
+        assert data[-4 * 4 * 3] in (127, 128, 129)
+    else:
+        from PIL import Image
+
+        assert abs(int(np.asarray(Image.open(p))[0, 0, 0]) - 128) <= 1

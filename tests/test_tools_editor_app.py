@@ -252,6 +252,10 @@ def test_editor_asset_hot_reload_pump(tmp_path):
     reloaded = sess.pump_asset_changes()
     assert reloaded == [tid]
     after = np.asarray(sess.assets.device_pool())[slot]
-    assert abs(float(after.mean()) - 240 / 255.0) < 2e-2
+    # disk color art decodes sRGB->linear at load (scx.assets.textures)
+    from scx.assets.textures import srgb_to_linear
+
+    want = float(srgb_to_linear(np.float32(240 / 255.0)))
+    assert abs(float(after.mean()) - want) < 2e-2
     assert len(sess.palette) == n_palette + 1
     assert sess.palette[-1]["label"] == "crate.glb"
