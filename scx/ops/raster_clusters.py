@@ -158,23 +158,33 @@ def _tile_body(
     def run_scoped_body(winner_ref):
         winner_ref[:] = jnp.full((th, tw), -1, jnp.int32)
 
-        # ---- pass A: depth + winner code, with hierarchical-z skip:
-        # clusters arrive front-to-back (draw sort), so once this tile is
-        # fully covered nearer than a cluster's min depth the whole cluster
-        # (and typically the rest of the list) contributes nothing ----
-        def pass_a(kc, _):
-            @pl.when(kc < cnt)
+        # ---- pass A: depth + winner code, with an EXACT early exit:
+        # bin_clusters orders each tile's list near-to-far by cluster zmin,
+        # so the first cluster with zmin >= the tile's max depth cannot win
+        # a pixel (z >= zmin >= max depth) — and neither can any later one
+        # (their zmins are larger still). Breaking there skips the whole
+        # occluded tail: its lattice math AND its DMAs (a fori_loop with a
+        # per-cluster skip still paid both the issue and the wait) ----
+        def pass_a_cond(carry):
+            kc, stop = carry
+            return jnp.logical_and(kc < cnt, jnp.logical_not(stop))
+
+        def pass_a(carry):
+            kc, _ = carry
+
+            @pl.when(kc + 2 < cnt)
             def _():
-                @pl.when(kc + 2 < cnt)
-                def _():
-                    dma(kc + 2).start()
+                dma(kc + 2).start()
 
-                dma(kc).wait()
-                tile_zmax = jnp.max(depth_ref[:])
+            dma(kc).wait()
+            tile_zmax = jnp.max(depth_ref[:])
+            stop = zmin_at(kc) >= tile_zmax
 
-                @pl.when(zmin_at(kc) < tile_zmax)
-                def _():
-                    _pass_a_cluster(kc)
+            @pl.when(jnp.logical_not(stop))
+            def _():
+                _pass_a_cluster(kc)
+
+            return kc + 1, stop
 
         # pass A processes CH triangles per iteration, fully vectorized over
         # a (CH, th, tw) lattice, reduced by min-depth within the chunk —
@@ -214,7 +224,18 @@ def _tile_body(
                     m, kc * CLUSTER + best_j, winner_ref[:]
                 )
 
-        jax.lax.fori_loop(0, cnt, pass_a, None)
+        kc_end, _ = jax.lax.while_loop(
+            pass_a_cond, pass_a, (jnp.int32(0), jnp.bool_(False))
+        )
+
+        # drain DMAs still in flight past the exit point: buf/sems scratch
+        # is reused by the next grid step, and an unconsumed signal there
+        # would satisfy a DIFFERENT tile's wait with stale data
+        def drain(kc, _):
+            dma(kc).wait()
+            return _
+
+        jax.lax.fori_loop(kc_end, jnp.minimum(cnt, kc_end + 2), drain, None)
 
         # ---- pass B: attributes, whole cluster vectorized ----
         # each pixel's winner code selects exactly one triangle; evaluating
@@ -259,7 +280,8 @@ def _tile_body(
                 )
                 attr_ref[:] = jnp.where(in_cluster[None], new, attr_ref[:])
 
-        jax.lax.fori_loop(0, cnt, pass_b, None)
+        # winners only come from clusters pass A actually rasterized
+        jax.lax.fori_loop(0, kc_end, pass_b, None)
 
     pl.run_scoped(run_scoped_body, pltpu.VMEM((th, tw), jnp.int32))
 
