@@ -35,7 +35,7 @@ tex = pipe.MipTextures(quads=jnp.asarray(texmod.build_mip_quads(base))[None], si
 
 # the frame is ONE fused jit of the public API (separate stage jits pay a
 # per-call dispatch tax through the tunnel and block cross-stage fusion)
-BAKE = os.environ.get("STATIC_BAKE", "0") == "1"
+BAKE = os.environ.get("STATIC_BAKE", "1") == "1"  # A/B 2026-08-19: 76.3 -> 97.2 FPS
 if BAKE:
     from scx.render import staticbake as sb
     t_s = -(-len(tris) // 128) * 128
@@ -81,6 +81,11 @@ def chain(n):
     return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
 chainf = jax.jit(chain, static_argnums=0)
 jax.block_until_ready(chainf(N))
+# quiet the remote compile service before the measured run (CLAUDE.md
+# trap 10b: executions read 100-1000x slow while it is busy) — this is
+# WHY the r3 gate captured 72 FPS where a quiet process read 87
+if jax.default_backend() != "cpu":
+    time.sleep(45)
 t0=time.time(); jax.block_until_ready(chainf(N)); dt=(time.time()-t0)/N
 print("chained frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
 import json

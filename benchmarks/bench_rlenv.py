@@ -26,7 +26,7 @@ def main():
     # BASELINE config #5 default scale: 4096 envs x 128x128 RGB-D
     n_envs = int(os.environ.get("RL_ENVS", "4096"))
     obs_size = int(os.environ.get("RL_OBS", "128"))
-    static_bake = os.environ.get("RL_STATIC_BAKE", "0") == "1"
+    static_bake = os.environ.get("RL_STATIC_BAKE", "1") == "1"  # A/B 2026-08-19: +32% @1024
     # RL_OBS_MODE=state: 16-float state vectors instead of pixels (no
     # raster at all) — the algorithm-prototyping/training-throughput shape
     obs_mode = os.environ.get("RL_OBS_MODE", "rgbd")
@@ -72,6 +72,14 @@ def main():
     # device-resident rollout: obs consumed on chip (policy-on-chip shape)
     aux = env.rollout(actions, length=steps)
     jax.block_until_ready(aux)
+    # the warm call compiles chunk programs remotely; co-resident
+    # executions read 100-1000x slow while the compile service is busy
+    # (CLAUDE.md trap 10b), and the AdaptiveChunker must not keep launch
+    # sizes learned from poisoned durations — quiet down and re-learn
+    if jax.default_backend() != "cpu":
+        time.sleep(45)  # in the gate's FAST mode too: contamination is
+        # exactly what made the r3 gate read low (trap 10b)
+    env._chunker = None
     t0 = time.time()
     aux = env.rollout(actions, length=steps)
     jax.block_until_ready(aux)

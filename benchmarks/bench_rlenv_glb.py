@@ -56,7 +56,7 @@ def main():
         obs_tile_h=int(os.environ.get("OBS_TILE", "16")),
         # NOTE: bake renders ALL statics (no draw-budget drop), so images
         # can differ from the budgeted path when visible > DRAWS
-        static_bake=os.environ.get("RL_STATIC_BAKE", "0") == "1",
+        static_bake=os.environ.get("RL_STATIC_BAKE", "1") == "1",  # A/B: 970 -> 1270/s
     )
     print(
         f"built {envs} envs (cap {capacity}, {len(slots)} GLB buildings, "
@@ -76,6 +76,11 @@ def main():
     means, rews = env.rollout(actions, length=length)
     jax.block_until_ready(rews)
     print(f"compile+first rollout: {time.time()-t0:.1f}s", flush=True)
+    # quiet the remote compile service + drop chunk sizes learned from the
+    # poisoned warm call (CLAUDE.md trap 10b)
+    if jax.default_backend() != "cpu":
+        time.sleep(45)  # gate FAST mode included (trap 10b)
+    env._chunker = None
 
     best = float("inf")
     for _ in range(2):
