@@ -158,6 +158,41 @@ def main():
             return jax.vmap(one)(s), None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
+    from scx.physics.solver import step_bodies_cached
+
+    def chain_sbc(b, c):
+        # step_bodies_cached alone (integrate + bp + contacts + warm gather
+        # + solve + sleep + store + integrate positions) — the solver core
+        # without vehicle_prestep / write_back, to attribute the
+        # composition delta between physics_full and the stage sums
+        def body(carry, i):
+            s, cc = carry
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            def one(st, cache1):
+                bodies = bodies_from_state(st)
+                bodies, cache1, _ = step_bodies_cached(bodies, solver, cache1)
+                from scx.physics.world import write_back as wb
+                return wb(st, bodies), cache1
+            s, cc = jax.vmap(one)(s, cc)
+            return (s, cc), None
+        (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
+        return b, c
+
+    def chain_physics_v9(b, c):
+        # physics_sync_step at the RL env's actual vehicle-slot count
+        # (min(24, n_traffic+1)+agents ~= 9-10 vs the 32-slot default the
+        # physics_full chain pays)
+        mv = min(24, args.traffic + 1) + 1
+        def body(carry, i):
+            s, cc = carry
+            s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+            s, cc, _ = jax.vmap(
+                lambda x, y: physics_sync_step(x, solver, vparams, dt, y, mv)
+            )(s, cc)
+            return (s, cc), None
+        (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
+        return b, c
+
     def chain_warmstart(b, c):
         def body(carry, i):
             s, cc = carry
@@ -181,6 +216,8 @@ def main():
 
     stages = {
         "physics_full": jax.jit(chain_physics),
+        "physics_v9": jax.jit(chain_physics_v9),
+        "sbc_core": jax.jit(chain_sbc),
         "ai": jax.jit(chain_ai),
         "broadphase": jax.jit(chain_broadphase),
         "bp+contacts": jax.jit(chain_contacts),
@@ -192,7 +229,7 @@ def main():
 
     # compile everything first
     compiled = {}
-    takes_cache = {"physics_full", "bp+con+warm"}
+    takes_cache = {"physics_full", "physics_v9", "sbc_core", "bp+con+warm"}
     for name, fn in stages.items():
         t0 = time.time()
         if name in takes_cache:
@@ -227,6 +264,10 @@ def main():
         print(f"{'veh+integ+ws':>14}: {results['physics_full']-results['bp+con+solve']:8.2f} ms (delta)")
     if all(k in results for k in ("bp+contacts", "bp+con+warm")):
         print(f"{'warmstart':>14}: {results['bp+con+warm']-results['bp+contacts']:8.2f} ms (delta)")
+    if all(k in results for k in ("physics_full", "sbc_core")):
+        print(f"{'veh_composed':>14}: {results['physics_full']-results['sbc_core']:8.2f} ms (delta: full - solver core)")
+    if all(k in results for k in ("physics_full", "physics_v9")):
+        print(f"{'v32_tax':>14}: {results['physics_full']-results['physics_v9']:8.2f} ms (delta: 32 veh slots vs env's)")
 
     if args.trace:
         from scx.telemetry import trace as tr
