@@ -72,18 +72,26 @@ def main():
     # device-resident rollout: obs consumed on chip (policy-on-chip shape)
     aux = env.rollout(actions, length=steps)
     jax.block_until_ready(aux)
-    # the warm call compiles chunk programs remotely; co-resident
-    # executions read 100-1000x slow while the compile service is busy
-    # (CLAUDE.md trap 10b), and the AdaptiveChunker must not keep launch
-    # sizes learned from poisoned durations — quiet down and re-learn
+    # Run a SECOND untimed rollout: the warm call's chunker starts cold and
+    # picks small launch lengths; once its duration estimate converges it
+    # chooses BIGGER chunk lengths the warm call never compiled, and a
+    # remote compile landing inside the measured call reads 100-1000x slow
+    # (this — not a "poisoned chunker" — was the r3/r4 421-vs-3186 anomaly;
+    # resetting env._chunker made it worse by forcing the re-learn into the
+    # measured call). The convergence call compiles every length the
+    # measured calls will use.
+    aux = env.rollout(actions, length=steps)
+    jax.block_until_ready(aux)
+    # quiet the remote compile service before measuring (CLAUDE.md trap 10b)
     if jax.default_backend() != "cpu":
         time.sleep(45)  # in the gate's FAST mode too: contamination is
         # exactly what made the r3 gate read low (trap 10b)
-    env._chunker = None
-    t0 = time.time()
-    aux = env.rollout(actions, length=steps)
-    jax.block_until_ready(aux)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        aux = env.rollout(actions, length=steps)
+        jax.block_until_ready(aux)
+        dt = min(dt, time.time() - t0)
     rate = n_envs * steps / dt
     print(
         f"{rate:,.0f} env-steps/s device-chained (obs consumed on device)",

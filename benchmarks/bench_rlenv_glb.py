@@ -76,11 +76,15 @@ def main():
     means, rews = env.rollout(actions, length=length)
     jax.block_until_ready(rews)
     print(f"compile+first rollout: {time.time()-t0:.1f}s", flush=True)
-    # quiet the remote compile service + drop chunk sizes learned from the
-    # poisoned warm call (CLAUDE.md trap 10b)
+    # second untimed rollout so the converged chunker's (bigger) launch
+    # lengths are compiled BEFORE the measured calls — a remote compile
+    # inside a measured call reads 100-1000x slow; do NOT reset
+    # env._chunker, that forces the re-learn into the measurement
+    means, rews = env.rollout(actions, length=length)
+    jax.block_until_ready(rews)
+    # quiet the remote compile service (CLAUDE.md trap 10b)
     if jax.default_backend() != "cpu":
         time.sleep(45)  # gate FAST mode included (trap 10b)
-    env._chunker = None
 
     best = float("inf")
     for _ in range(2):
