@@ -23,6 +23,7 @@ Per-tile work is bounded by its real cluster count (dynamic loop bound).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,15 @@ from scx.render import pipeline as pipe
 
 N_ATTR = 6
 CLUSTER = 32  # triangles per cluster (tight AABBs beat DMA granularity)
+
+# Packed setup blocks: N_FIELDS is exactly 32, so 4 triangles fit one
+# 128-lane row — the padded [CLUSTER, 128] block (fields 32..127 dead)
+# carries 4x DMA traffic and 4x VMEM scratch for nothing. Packed layout:
+# [CLUSTER//4, 128], tri t at row t//4, lanes 32*(t%4)..32*(t%4)+32.
+# The kernels detect the layout from the scratch shape; this flag picks
+# it at dispatch (SCX_RASTER_PACKED=0 for on-chip A/B).
+_PACKED = os.environ.get("SCX_RASTER_PACKED", "1") != "0"
+_PACK = 4  # tris per 128-lane row (128 // N_FIELDS)
 
 
 def cluster_bounds(aabb, valid, max_tris: int, setup=None):
@@ -130,6 +140,7 @@ def _tile_body(
     `src_at(cid)` -> the HBM block to DMA. Single-scene and env-batched
     kernels differ only in these accessors and the grid."""
     th, tw = params.tile_h, params.tile_w
+    packed = buf.shape[1] == CLUSTER // _PACK  # setup-block layout (above)
 
     depth_ref[:] = jnp.ones((th, tw), jnp.float32)
     attr_ref[:] = jnp.zeros((N_ATTR, th, tw), jnp.float32)
@@ -194,14 +205,50 @@ def _tile_body(
         # tried and is both SLOWER (8.5 vs 8.0 ms: layout moves eat the FMA
         # savings) and imprecise (f32 matmul defaults to bf16 passes, which
         # perturbs edge-function coverage by ~1% of pixels).  VPU it is.
-        def _pass_a_cluster(kc):
-            pyc = py[None]
-            pxc = px[None]
-            blk = buf[kc]                                    # (CLUSTER, 128)
-            g = lambda f: blk[:, f : f + 1][:, :, None]      # (CL,1,1)
+        def _cluster_planes(kc):
+            """(g, ev) accessors for cluster kc's setup block.
 
-            def ev(base):  # plane: a*px + b*py + c, (CL,th,tw)
-                return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
+            Packed layout keeps the per-tri broadcast 4D — (rows, 4, 1, 1)
+            times (1, 1, th, tw) — and merges the two MAJOR dims afterwards
+            ((rows,4,th,tw) -> (CL,th,tw) is a free page reindex; a direct
+            (rows,4) -> (CL,1) reshape would be a lane->sublane relayout)."""
+            blk = buf[kc]
+            if packed:
+                def g(f):  # (rows, 4, 1, 1) per-tri field
+                    col = jnp.concatenate(
+                        [blk[:, s * 32 + f : s * 32 + f + 1] for s in range(_PACK)],
+                        axis=1,
+                    )
+                    return col[:, :, None, None]
+
+                pyc = py[None, None]
+                pxc = px[None, None]
+
+                def ev(base):  # plane: a*px + b*py + c, (CL,th,tw)
+                    return (
+                        g(base) * pxc + g(base + 1) * pyc + g(base + 2)
+                    ).reshape(CLUSTER, th, tw)
+
+                def gfull(f):  # constant field broadcast to (CL,th,tw)
+                    return jnp.broadcast_to(
+                        g(f), (CLUSTER // _PACK, _PACK, th, tw)
+                    ).reshape(CLUSTER, th, tw)
+            else:
+                def g(f):  # (CL,1,1)
+                    return blk[:, f : f + 1][:, :, None]
+
+                pyc = py[None]
+                pxc = px[None]
+
+                def ev(base):
+                    return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
+
+                def gfull(f):
+                    return jnp.broadcast_to(g(f), (CLUSTER, th, tw))
+            return ev, gfull
+
+        def _pass_a_cluster(kc):
+            ev, _ = _cluster_planes(kc)
 
             l0 = ev(pipe.F_L0)
             l1 = ev(pipe.F_L1)
@@ -242,8 +289,6 @@ def _tile_body(
         # all 32 attribute planes of a HIT cluster and mask-summing over the
         # one-hot (winner == code_j) beats any scalar per-tri loop
         codes = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, 1, 1), 0)
-        pyc = py[None]
-        pxc = px[None]
 
         def pass_b(kc, _):
             w = winner_ref[:]
@@ -252,12 +297,7 @@ def _tile_body(
 
             @pl.when(jnp.any(in_cluster))
             def _():
-                blk = buf[kc]                                  # (CLUSTER,128)
-                g = lambda f: blk[:, f : f + 1][:, :, None]    # (CL,1,1)
-
-                def ev(base):                                  # (CL,th,tw)
-                    return g(base) * pxc + g(base + 1) * pyc + g(base + 2)
-
+                ev, gfull = _cluster_planes(kc)
                 onehot = ((w[None] - lo) == codes).astype(jnp.float32)
 
                 def resolve(base):
@@ -265,9 +305,7 @@ def _tile_body(
 
                 iw = jnp.maximum(resolve(pipe.F_IW), 1e-12)
                 inv_iw = 1.0 / iw
-                matv = jnp.sum(
-                    jnp.broadcast_to(g(pipe.F_MAT), onehot.shape) * onehot, axis=0
-                )
+                matv = jnp.sum(gfull(pipe.F_MAT) * onehot, axis=0)
                 new = jnp.stack(
                     [
                         resolve(pipe.F_COL + 0) * inv_iw,
@@ -361,10 +399,18 @@ def rasterize_clusters(
     kc = max_clusters_per_tile
 
     # HBM blocks must tile to (·,128) lanes for sliced DMA, and in-kernel
-    # scalar loads need a STATIC lane index — so pad the field dim to 128:
-    # block = [64 tris, 128 fields], field index static, tri index dynamic.
-    setup_pad = jnp.pad(setup, ((0, 0), (0, 128 - pipe.N_FIELDS)))
-    setup_blocks = setup_pad.reshape(c, CLUSTER, 128)
+    # scalar loads need a STATIC lane index. Packed layout: 4 tris per
+    # 128-lane row (N_FIELDS == 32), so a cluster block is [CLUSTER//4,
+    # 128] — 4x less DMA traffic and VMEM scratch than padding the field
+    # dim to 128 (fallback layout, SCX_RASTER_PACKED=0).
+    if _PACKED:
+        assert pipe.N_FIELDS == 128 // _PACK
+        rows = CLUSTER // _PACK
+        setup_blocks = setup.reshape(c, rows, 128)
+    else:
+        rows = CLUSTER
+        setup_pad = jnp.pad(setup, ((0, 0), (0, 128 - pipe.N_FIELDS)))
+        setup_blocks = setup_pad.reshape(c, CLUSTER, 128)
 
     if cl_zmin is None:
         cl_zmin = jnp.zeros((c,), jnp.float32)
@@ -382,7 +428,7 @@ def rasterize_clusters(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kc, CLUSTER, 128), jnp.float32),
+            pltpu.VMEM((kc, rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((kc,)),
         ],
     )
@@ -444,10 +490,12 @@ def rasterize_clusters_batched(
     counts = jnp.minimum(cl_counts, kc).astype(jnp.int32)
 
     # env chunking: (a) words + counts must fit the ~1 MiB SMEM budget,
-    # (b) the 128-lane-padded DMA slab (built per chunk below — the pad is
-    # 128/N_FIELDS ~ 4x, never materialized fleet-wide) stays ~<=1.5 GiB
+    # (b) the DMA slab (built per chunk below) stays ~<=1.5 GiB. Packed
+    # blocks carry no lane pad (4 tris/row); the fallback layout pads
+    # 128/N_FIELDS ~ 4x.
+    rows = CLUSTER // _PACK if _PACKED else CLUSTER
     bytes_per_env = n_tiles * (kc + 1) * 4
-    slab_bytes_per_env = c * CLUSTER * 128 * 4
+    slab_bytes_per_env = c * rows * 128 * 4
     chunk = max(
         1,
         min(
@@ -480,7 +528,7 @@ def rasterize_clusters_batched(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kc, CLUSTER, 128), jnp.float32),
+            pltpu.VMEM((kc, rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((kc,)),
         ],
     )
@@ -496,8 +544,12 @@ def rasterize_clusters_batched(
 
     def one_chunk(args):
         w, cn, setup_c = args
-        pad_c = jnp.pad(setup_c, ((0, 0), (0, 0), (0, 128 - pipe.N_FIELDS)))
-        blocks = pad_c.reshape(chunk, c, CLUSTER, 128)
+        if _PACKED:
+            assert pipe.N_FIELDS == 128 // _PACK
+            blocks = setup_c.reshape(chunk, c, rows, 128)
+        else:
+            pad_c = jnp.pad(setup_c, ((0, 0), (0, 0), (0, 128 - pipe.N_FIELDS)))
+            blocks = pad_c.reshape(chunk, c, CLUSTER, 128)
         d, a = call(w.reshape(-1), cn.reshape(-1), blocks)
         return d.reshape(chunk, h_pad, w_pad), a.reshape(
             N_ATTR, chunk, h_pad, w_pad
