@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--clusters", action="store_true",
                     help="profile the cluster obs path instead of tri binning")
+    ap.add_argument("--bake", action="store_true",
+                    help="profile the static-bake path (stage prefixes match "
+                         "_render_one_baked: static project -> cull -> "
+                         "dyn emit+setup -> bin -> raster)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quiet-wait", type=float, default=60.0)
     args = ap.parse_args()
@@ -64,11 +68,12 @@ def main():
         obs_size=args.obs,
         n_traffic=args.traffic,
         use_cluster_obs=args.clusters,
+        static_bake=args.bake,
         interpret=args.cpu,
     )
     print(f"built {E} envs in {time.time()-t0:.1f}s "
-          f"(max_tris={env.raster.max_tris}, clusters={args.clusters})",
-          flush=True)
+          f"(max_tris={env.raster.max_tris}, clusters={args.clusters}, "
+          f"bake={args.bake})", flush=True)
     batch = env.state
     params = env.raster
     player = env.player
@@ -123,20 +128,29 @@ def main():
             return fold(s, jax.vmap(one)(s)), None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
+    def render_setup(s):
+        """Production per-env setup for the selected path."""
+        if args.bake:
+            return jax.vmap(env._render_one_baked)(s, env.baked)
+        return jax.vmap(env._render_one)(s)
+
     def chain_bin(b):
         # tri path only: binning separate from the kernel
+        bin_params = env._params_bin if args.bake else params
         def body(s, i):
             s = perturb(s, i)
-            setup, aabb, valid = jax.vmap(env._render_one)(s)
-            binned, counts = bin_triangles_batched(setup, aabb, valid, params)
+            setup, aabb, valid = render_setup(s)
+            binned, counts = bin_triangles_batched(
+                setup, aabb, valid, bin_params)
             return fold(s, jnp.sum(counts.astype(jnp.float32), axis=(1,))), None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
     def chain_full(b):
+        raster_params = env._params_bin if args.bake else params
         def body(s, i):
             s = perturb(s, i)
-            setup, aabb, valid = jax.vmap(env._render_one)(s)
-            g, _ = raster_gbuffer_batched(setup, aabb, valid, params)
+            setup, aabb, valid = render_setup(s)
+            g, _ = raster_gbuffer_batched(setup, aabb, valid, raster_params)
             return fold(s, jnp.sum(g["depth"], axis=(1, 2))), None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
@@ -144,15 +158,59 @@ def main():
         # the exact production call (includes the rgb/depth concat)
         def body(s, i):
             s = perturb(s, i)
-            obs = env._render_obs_batched(s)
+            obs = env._render_obs_batched(s, env.baked if args.bake else None)
             return fold(s, jnp.sum(obs, axis=(1, 2, 3))), None
         return jax.lax.scan(body, b, jnp.arange(N))[0]
 
-    stages = [
-        ("cull", chain_cull),
-        ("+emit", chain_emit),
-        ("+setup", chain_setup),
-    ]
+    if args.bake:
+        # static-bake path prefixes, matching _render_one_baked stage order
+        from scx.render import staticbake as sb
+
+        def chain_sproj(b):
+            def body(s, i):
+                s = perturb(s, i)
+                def one(st, bk):
+                    vp = cam_vp(st)
+                    st_setup, st_aabb, _ = sb.setup_static_from_bake(
+                        bk, vp, env._params_static)
+                    return jnp.sum(st_setup[:, 28]) + jnp.sum(st_aabb)
+                return fold(s, jax.vmap(one)(s, env.baked)), None
+            return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+        def chain_bcull(b):
+            def body(s, i):
+                s = perturb(s, i)
+                def one(st, bk):
+                    vp = cam_vp(st)
+                    st_setup, st_aabb, _ = sb.setup_static_from_bake(
+                        bk, vp, env._params_static)
+                    visible, mats = cull_entities(st, vp)
+                    dyn = visible & ~sb.static_entity_mask(st)
+                    return (jnp.sum(st_setup[:, 28]) + jnp.sum(st_aabb)
+                            + jnp.sum(dyn.astype(jnp.float32)) + jnp.sum(mats))
+                return fold(s, jax.vmap(one)(s, env.baked)), None
+            return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+        def chain_bsetup(b):
+            def body(s, i):
+                s = perturb(s, i)
+                setup, aabb, valid = render_setup(s)
+                return fold(
+                    s, jnp.sum(setup[:, :, 28], axis=1) + jnp.sum(
+                        aabb, axis=(1, 2))), None
+            return jax.lax.scan(body, b, jnp.arange(N))[0]
+
+        stages = [
+            ("sproj", chain_sproj),
+            ("+cull", chain_bcull),
+            ("+setup", chain_bsetup),
+        ]
+    else:
+        stages = [
+            ("cull", chain_cull),
+            ("+emit", chain_emit),
+            ("+setup", chain_setup),
+        ]
     if not args.clusters:
         stages.append(("+bin", chain_bin))
     stages += [("+raster", chain_full), ("obs_full", chain_obs)]
