@@ -36,8 +36,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the physics scan")
+    ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quiet-wait", type=float, default=60.0)
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from scx.app.rlenv import CityRLEnv
     from scx.physics.world import physics_sync_step, bodies_from_state
@@ -214,10 +217,56 @@ def main():
         (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
         return b, c
 
+    # --- prefix chains INSIDE step_bodies_cached (attribute the gap
+    # between sbc_core and the isolated part stages; each adds one more
+    # internal stage, folding every output into the carried vel) ---------
+    from scx.physics.rigid import integrate_velocities as integ_v
+
+    def _sbc_prefix(depth):
+        def chain(b, c):
+            def body(carry, i):
+                s, cc = carry
+                s = jax.vmap(perturb, in_axes=(0, None))(s, i)
+                def one(st, cache1):
+                    bodies = bodies_from_state(st)
+                    bodies = integ_v(bodies, dt, solver.gravity)
+                    ia, ib, val, n_cand = broadphase_pairs(
+                        bodies, solver.max_pairs)
+                    acc = (n_cand + jnp.sum(val)).astype(jnp.float32)
+                    if depth >= 2:
+                        con = generate_contacts(bodies, ia, ib, val)
+                        acc = acc + jnp.sum(con.depth) + jnp.sum(con.valid)
+                    if depth >= 3:
+                        lam0 = gather_warm_impulses(
+                            cache1, ia, ib, val, con.cand, bodies.n)
+                        acc = acc + jnp.sum(lam0)
+                    if depth >= 4:
+                        vel, omega, lam, cnt = solve_velocity(
+                            bodies, con, solver, lam0)
+                        acc = acc + jnp.sum(vel) + jnp.sum(omega) + jnp.sum(lam)
+                    if depth >= 5:
+                        cache1 = store_impulses(
+                            cache1, ia, ib, val, con.cand, lam, con.valid,
+                            bodies.n)
+                        acc = acc + jnp.sum(cache1.lam)
+                    return acc, cache1
+                acc, cc = jax.vmap(one)(s, cc)
+                s = s.replace(body=s.body.replace(
+                    vel=s.body.vel + (acc * 0.0)[:, None, None]))
+                return (s, cc), None
+            (b, c), _ = jax.lax.scan(body, (b, c), jnp.arange(N))
+            return b, c
+        return chain
+
     stages = {
         "physics_full": jax.jit(chain_physics),
         "physics_v9": jax.jit(chain_physics_v9),
         "sbc_core": jax.jit(chain_sbc),
+        "sbc_p1_bp": jax.jit(_sbc_prefix(1)),
+        "sbc_p2_con": jax.jit(_sbc_prefix(2)),
+        "sbc_p3_warm": jax.jit(_sbc_prefix(3)),
+        "sbc_p4_solve": jax.jit(_sbc_prefix(4)),
+        "sbc_p5_store": jax.jit(_sbc_prefix(5)),
         "ai": jax.jit(chain_ai),
         "broadphase": jax.jit(chain_broadphase),
         "bp+contacts": jax.jit(chain_contacts),
@@ -229,7 +278,11 @@ def main():
 
     # compile everything first
     compiled = {}
-    takes_cache = {"physics_full", "physics_v9", "sbc_core", "bp+con+warm"}
+    takes_cache = {
+        "physics_full", "physics_v9", "sbc_core", "bp+con+warm",
+        "sbc_p1_bp", "sbc_p2_con", "sbc_p3_warm", "sbc_p4_solve",
+        "sbc_p5_store",
+    }
     for name, fn in stages.items():
         t0 = time.time()
         if name in takes_cache:
