@@ -616,6 +616,12 @@ class MipTextures:
 
     quads: jax.Array  # [NT, FLAT, 12] f32
     size: int = struct.field(pytree_node=False, default=128)
+    # trilinear: lerp between the two nearest mip levels (one extra gather
+    # per pixel) instead of snapping to the nearest level. The reference's
+    # sampler exposes linear mipmapping + anisotropy (sc_assets.cpp:210-211)
+    # though its textures ship a single level (sc_assets.cpp:606); nearest
+    # is the bench default, trilinear the fidelity option.
+    trilinear: bool = struct.field(pytree_node=False, default=False)
 
 
 def _uv_mip_level(uv, covered, base_size: int, n_levels: int):
@@ -640,7 +646,7 @@ def _uv_mip_level(uv, covered, base_size: int, n_levels: int):
     rho2 = jnp.maximum(jnp.sum(dx * dx, -1), jnp.sum(dy * dy, -1))
     level = 0.5 * jnp.log2(jnp.maximum(rho2, 1.0))
     level = jnp.where(covered, level, 0.0)
-    return jnp.clip(level.astype(jnp.int32), 0, n_levels - 1)
+    return jnp.clip(level, 0.0, float(n_levels - 1))
 
 
 def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07, 0.1)):
@@ -666,27 +672,38 @@ def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07
             offsets, sizes = mip_layout(textures.size)
             off_t = jnp.asarray(offsets[:-1], jnp.int32)
             sz_t = jnp.asarray(sizes, jnp.int32)
-            level = _uv_mip_level(uv, covered, textures.size, len(sizes))
-            sz = sz_t[level]                     # [H,W] i32
-            szf = sz.astype(jnp.float32)
-            base = off_t[level]
+            flevel = _uv_mip_level(uv, covered, textures.size, len(sizes))
             # REPEAT addressing (the reference's samplers default to repeat,
             # sc_assets.cpp sampler create); derivatives above use the
             # unwrapped uv so tiling doesn't poison the level
             uvw = uv - jnp.floor(uv)
-            u = uvw[..., 0] * szf - 0.5
-            v = uvw[..., 1] * szf - 0.5
-            ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, sz - 1)
-            vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, sz - 1)
-            fu = jnp.clip(u - ui.astype(jnp.float32), 0.0, 1.0)[..., None]
-            fv = jnp.clip(v - vi.astype(jnp.float32), 0.0, 1.0)[..., None]
-            quad = textures.quads[safe_tex, base + vi * sz + ui]  # [H,W,12]
-            bilinear = (
-                quad[..., 0:3] * (1 - fu) * (1 - fv)
-                + quad[..., 3:6] * fu * (1 - fv)
-                + quad[..., 6:9] * (1 - fu) * fv
-                + quad[..., 9:12] * fu * fv
-            )
+
+            def sample_level(level):  # [H,W] i32 -> bilinear [H,W,3]
+                sz = sz_t[level]                 # [H,W] i32
+                szf = sz.astype(jnp.float32)
+                base = off_t[level]
+                u = uvw[..., 0] * szf - 0.5
+                v = uvw[..., 1] * szf - 0.5
+                ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, sz - 1)
+                vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, sz - 1)
+                fu = jnp.clip(u - ui.astype(jnp.float32), 0.0, 1.0)[..., None]
+                fv = jnp.clip(v - vi.astype(jnp.float32), 0.0, 1.0)[..., None]
+                quad = textures.quads[safe_tex, base + vi * sz + ui]  # [H,W,12]
+                return (
+                    quad[..., 0:3] * (1 - fu) * (1 - fv)
+                    + quad[..., 3:6] * fu * (1 - fv)
+                    + quad[..., 6:9] * (1 - fu) * fv
+                    + quad[..., 9:12] * fu * fv
+                )
+
+            if textures.trilinear:
+                l0 = jnp.floor(flevel).astype(jnp.int32)
+                l1 = jnp.minimum(l0 + 1, len(sizes) - 1)
+                frac = (flevel - l0.astype(jnp.float32))[..., None]
+                bilinear = sample_level(l0) * (1 - frac) + sample_level(l1) * frac
+            else:
+                # truncation matches the pre-trilinear behavior exactly
+                bilinear = sample_level(flevel.astype(jnp.int32))
             textured = jnp.where((tex_id >= 0)[..., None], bilinear, 1.0)
             color = color * textured * tint
             bg = jnp.asarray(background)

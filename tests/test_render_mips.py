@@ -104,3 +104,32 @@ def test_asset_manager_mip_pool():
     assert mt.quads.shape == (4, offs[-1], 12)
     # white slot: every level white
     np.testing.assert_allclose(np.asarray(mt.quads[WHITE_SLOT]), 1.0)
+
+
+def test_trilinear_blends_adjacent_levels():
+    """MipTextures(trilinear=True) lerps the two nearest levels: the output
+    must lie between the two nearest-level shades and match nearest exactly
+    when the footprint hits an integer level (sampler linear-mipmap parity,
+    sc_assets.cpp:210-211)."""
+    base = tex.checker_texture(64, cells=8)
+    h, w = 8, 8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # ~2.83 texels/pixel -> level log2(2.83) = 1.5: exactly between 1 and 2
+    s = 2.0 ** 1.5 / 64.0
+    uv = np.stack([xx * s, yy * s], -1)
+    g = _gbuffer(uv, h, w)
+    quads = jnp.asarray(tex.build_mip_quads(base))[None]
+    near = pipe.MipTextures(quads=quads, size=64)
+    tri = pipe.MipTextures(quads=quads, size=64, trilinear=True)
+    out_n = np.asarray(pipe.shade(g, _mats(), near))
+    out_t = np.asarray(pipe.shade(g, _mats(), tri))
+    # fractional level -> trilinear differs from nearest somewhere interior
+    assert np.abs(out_t[1:-1, 1:-1] - out_n[1:-1, 1:-1]).max() > 1e-4
+
+    # integer level (exactly 2 texels/pixel -> level 1): identical outputs
+    s1 = 2.0 / 64.0
+    uv1 = np.stack([xx * s1, yy * s1], -1)
+    g1 = _gbuffer(uv1, h, w)
+    out_n1 = np.asarray(pipe.shade(g1, _mats(), near))
+    out_t1 = np.asarray(pipe.shade(g1, _mats(), tri))
+    np.testing.assert_allclose(out_t1[1:-1, 1:-1], out_n1[1:-1, 1:-1], atol=1e-6)
