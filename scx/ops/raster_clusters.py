@@ -40,8 +40,12 @@ CLUSTER = 32  # triangles per cluster (tight AABBs beat DMA granularity)
 # carries 4x DMA traffic and 4x VMEM scratch for nothing. Packed layout:
 # [CLUSTER//4, 128], tri t at row t//4, lanes 32*(t%4)..32*(t%4)+32.
 # The kernels detect the layout from the scratch shape; this flag picks
-# it at dispatch (SCX_RASTER_PACKED=0 for on-chip A/B).
-_PACKED = os.environ.get("SCX_RASTER_PACKED", "1") != "0"
+# it at dispatch. OPT-IN (SCX_RASTER_PACKED=1): the packed formulation
+# currently fails Mosaic lowering on real TPUs (tpu.reshape of
+# vector<8x4xf32> -> 8x4x1x1 is rejected) even though interpret mode
+# passes equivalence — keep it off until the kernel-side formulation
+# lowers cleanly and the A/B wins on chip.
+_PACKED = os.environ.get("SCX_RASTER_PACKED", "0") == "1"
 _PACK = 4  # tris per 128-lane row (128 // N_FIELDS)
 
 
