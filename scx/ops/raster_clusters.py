@@ -212,31 +212,43 @@ def _tile_body(
         def _cluster_planes(kc):
             """(g, ev) accessors for cluster kc's setup block.
 
-            Packed layout keeps the per-tri broadcast 4D — (rows, 4, 1, 1)
-            times (1, 1, th, tw) — and merges the two MAJOR dims afterwards
-            ((rows,4,th,tw) -> (CL,th,tw) is a free page reindex; a direct
-            (rows,4) -> (CL,1) reshape would be a lane->sublane relayout)."""
+            Packed layout evaluates each of the 4 lane-slots separately with
+            the SAME (rows,1,1)-slice pattern the unpacked path uses (the
+            only shape manipulation Mosaic lowers cleanly here — the earlier
+            (rows,4,1,1) broadcast needed a vector reshape it rejects), then
+            concatenates along the major axis.  Triangle order inside the
+            cluster becomes slot-major (j = s*rows + row), a permutation
+            that is consistent between pass A's argmin codes and pass B's
+            one-hot, so the rasterized output is identical."""
             blk = buf[kc]
             if packed:
-                def g(f):  # (rows, 4, 1, 1) per-tri field
-                    col = jnp.concatenate(
-                        [blk[:, s * 32 + f : s * 32 + f + 1] for s in range(_PACK)],
-                        axis=1,
+                rows_p = CLUSTER // _PACK
+                pyc = py[None]
+                pxc = px[None]
+
+                def g_s(s, f):  # (rows, 1, 1); static lane index s*NF+f
+                    lo = s * pipe.N_FIELDS + f
+                    return blk[:, lo : lo + 1][:, :, None]
+
+                def ev(base):  # plane a*px + b*py + c, (CL,th,tw) slot-major
+                    return jnp.concatenate(
+                        [
+                            g_s(s, base) * pxc
+                            + g_s(s, base + 1) * pyc
+                            + g_s(s, base + 2)
+                            for s in range(_PACK)
+                        ],
+                        axis=0,
                     )
-                    return col[:, :, None, None]
-
-                pyc = py[None, None]
-                pxc = px[None, None]
-
-                def ev(base):  # plane: a*px + b*py + c, (CL,th,tw)
-                    return (
-                        g(base) * pxc + g(base + 1) * pyc + g(base + 2)
-                    ).reshape(CLUSTER, th, tw)
 
                 def gfull(f):  # constant field broadcast to (CL,th,tw)
-                    return jnp.broadcast_to(
-                        g(f), (CLUSTER // _PACK, _PACK, th, tw)
-                    ).reshape(CLUSTER, th, tw)
+                    return jnp.concatenate(
+                        [
+                            jnp.broadcast_to(g_s(s, f), (rows_p, th, tw))
+                            for s in range(_PACK)
+                        ],
+                        axis=0,
+                    )
             else:
                 def g(f):  # (CL,1,1)
                     return blk[:, f : f + 1][:, :, None]
@@ -390,12 +402,16 @@ def _kernel_batched(
 
 
 def rasterize_clusters(
-    setup, cl_ids, cl_counts, params, max_clusters_per_tile: int, cl_zmin=None
+    setup, cl_ids, cl_counts, params, max_clusters_per_tile: int, cl_zmin=None,
+    packed: bool | None = None,
 ):
     """setup [T, F] + per-tile cluster lists -> G-buffer dict.
 
     cl_zmin [C]: per-cluster min depth for the hierarchical-z skip (defaults
-    to zeros = no skipping)."""
+    to zeros = no skipping).  packed: setup-block layout (None = the
+    SCX_RASTER_PACKED env default)."""
+    if packed is None:
+        packed = _PACKED
     nty, ntx = params.tiles_y, params.tiles_x
     th, tw = params.tile_h, params.tile_w
     h_pad, w_pad = nty * th, ntx * tw
@@ -407,7 +423,7 @@ def rasterize_clusters(
     # 128-lane row (N_FIELDS == 32), so a cluster block is [CLUSTER//4,
     # 128] — 4x less DMA traffic and VMEM scratch than padding the field
     # dim to 128 (fallback layout, SCX_RASTER_PACKED=0).
-    if _PACKED:
+    if packed:
         assert pipe.N_FIELDS == 128 // _PACK
         rows = CLUSTER // _PACK
         setup_blocks = setup.reshape(c, rows, 128)
@@ -461,7 +477,7 @@ def rasterize_clusters(
 
 def rasterize_clusters_batched(
     setup, cl_ids, cl_counts, params, max_clusters_per_tile: int,
-    cl_zmin=None, smem_budget: int = 1 << 19,
+    cl_zmin=None, smem_budget: int = 1 << 19, packed: bool | None = None,
 ):
     """Env-batched cluster rasterizer: setup [E,T,F], cl_ids [E,n_tiles,KC],
     cl_counts [E,n_tiles], cl_zmin [E,C] -> G-buffer dict with a leading
@@ -474,6 +490,8 @@ def rasterize_clusters_batched(
     word array, and the fleet is processed in env chunks small enough for
     the words to fit `smem_budget`.
     """
+    if packed is None:
+        packed = _PACKED
     e = setup.shape[0]
     nty, ntx = params.tiles_y, params.tiles_x
     th, tw = params.tile_h, params.tile_w
@@ -497,7 +515,7 @@ def rasterize_clusters_batched(
     # (b) the DMA slab (built per chunk below) stays ~<=1.5 GiB. Packed
     # blocks carry no lane pad (4 tris/row); the fallback layout pads
     # 128/N_FIELDS ~ 4x.
-    rows = CLUSTER // _PACK if _PACKED else CLUSTER
+    rows = CLUSTER // _PACK if packed else CLUSTER
     bytes_per_env = n_tiles * (kc + 1) * 4
     slab_bytes_per_env = c * rows * 128 * 4
     chunk = max(
@@ -548,7 +566,7 @@ def rasterize_clusters_batched(
 
     def one_chunk(args):
         w, cn, setup_c = args
-        if _PACKED:
+        if packed:
             assert pipe.N_FIELDS == 128 // _PACK
             blocks = setup_c.reshape(chunk, c, rows, 128)
         else:

@@ -141,6 +141,69 @@ def test_cluster_batched_matches_single():
         )
 
 
+def test_cluster_packed_layout_matches():
+    """Packed setup blocks (4 tris per 128-lane row) == the padded layout.
+
+    The packed formulation quarters raster DMA traffic and VMEM scratch;
+    slot-major triangle order inside a cluster is an internal permutation
+    (pass A codes and pass B one-hot use the same accessors), so the
+    G-buffer must be identical up to depth ties."""
+    pool = rd.build_mesh_pool()
+    params = rd.RasterParams(
+        width=256, height=64, tile_h=16, tile_w=128,
+        max_tris=256, max_tris_per_tile=64, max_clusters_per_tile=4,
+        interpret=True,
+    )
+    vp = rd.camera_view_proj(
+        jnp.asarray([1.5, 1.2, 2.5]), jnp.asarray([0.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]), aspect=256 / 64,
+    )
+    models = [
+        m3.mat4_trs(
+            jnp.asarray([dx, 0.0, dz]), jnp.asarray([0.0, a, 0.0]), jnp.ones(3)
+        )
+        for dx, dz, a in [(0.0, 0.0, 0.3), (1.2, -0.5, 0.9), (-1.0, 0.4, 0.0)]
+    ]
+    draws = rd.DrawList(
+        mesh_id=jnp.full((3,), rd.MESH_CUBE, jnp.int32),
+        material_id=jnp.arange(3, dtype=jnp.int32),
+        model=jnp.stack(models),
+        valid=jnp.ones((3,), bool),
+    )
+    setup, aabb, valid = pipe.setup_triangles(draws, pool, vp, params)
+    cl_aabb, cl_valid, cl_zmin = rc.cluster_bounds(
+        aabb, valid, params.max_tris, setup
+    )
+    cl_ids, cl_counts = rc.bin_clusters(cl_aabb, cl_valid, params, 4,
+                                        cl_zmin=cl_zmin)
+    base = rc.rasterize_clusters(setup, cl_ids, cl_counts, params, 4,
+                                 cl_zmin=cl_zmin, packed=False)
+    got = rc.rasterize_clusters(setup, cl_ids, cl_counts, params, 4,
+                                cl_zmin=cl_zmin, packed=True)
+    for k in ("depth", "color", "uv"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(base[k]), atol=1e-6
+        )
+    np.testing.assert_array_equal(np.asarray(got["mat"]), np.asarray(base["mat"]))
+
+    # batched path, 2 envs
+    e = 2
+    setup_b = jnp.broadcast_to(setup, (e,) + setup.shape)
+    ids_b = jnp.broadcast_to(cl_ids, (e,) + cl_ids.shape)
+    counts_b = jnp.broadcast_to(cl_counts, (e,) + cl_counts.shape)
+    zmin_b = jnp.broadcast_to(cl_zmin, (e,) + cl_zmin.shape)
+    bb = rc.rasterize_clusters_batched(
+        setup_b, ids_b, counts_b, params, 4, cl_zmin=zmin_b, packed=False
+    )
+    gb = rc.rasterize_clusters_batched(
+        setup_b, ids_b, counts_b, params, 4, cl_zmin=zmin_b, packed=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb["depth"]), np.asarray(bb["depth"]), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(gb["mat"]), np.asarray(bb["mat"]))
+
+
 def test_cluster_batched_chunking_matches():
     """Env chunking (SMEM budget) must not change results."""
     pool = rd.build_mesh_pool()
