@@ -192,7 +192,7 @@ def main():
     caches = bg.empty_shard_caches(mesh, sim.solver.max_pairs)
     t0 = time.time()
     out, caches, rgb, stats = step1(sharded, caches, lanes, vp)
-    jax.block_until_ready(rgb)
+    float(jnp.sum(rgb))  # host read: block can phantom-return (quirk 12)
     print("compile+first: %.1f s" % (time.time() - t0), flush=True)
     print(
         "entities:", sp * n_local, "alive:", int(stats["alive"]),
@@ -209,12 +209,12 @@ def main():
         halo=14.0, halo_cap=96, mig_cap=48, n_steps=N,
     )
     out2, caches2, rgb2, cstats = chain(out, caches, lanes, vp)
-    jax.block_until_ready(rgb2)  # compile + warm
+    float(jnp.sum(rgb2))  # compile + warm, forced by host read (quirk 12)
     if jax.default_backend() != "cpu":
         time.sleep(60)  # let the remote compile service go quiet (trap 10b)
     t0 = time.time()
     out2, caches2, rgb2, cstats = chain(out, caches, lanes, vp)
-    jax.block_until_ready(rgb2)
+    float(jnp.sum(rgb2))  # timed region ends with a host read (quirk 12)
     dt = (time.time() - t0) / N
     agents = sp * (n_traffic + n_vehicles)
     print(

@@ -54,7 +54,9 @@ framef = jax.jit(lambda d: _frame(vp))
 
 FAST = os.environ.get("SCX_BENCH_FAST", "0") == "1"  # driver budget mode
 
-t0=time.time(); rgb, g, stats = framef(draws); jax.block_until_ready(rgb)
+# timed regions end with a HOST READ of a device scalar: block_until_ready
+# can phantom-return on the axon backend (CLAUDE.md quirk 12)
+t0=time.time(); rgb, g, stats = framef(draws); _ = float(jnp.sum(rgb))
 print("compile+first: %.1f s" % (time.time()-t0), flush=True)
 print("covered:", int(np.asarray(g["covered"]).sum()),
       "max_occ:", int(stats["max_tile_occupancy"]),
@@ -63,7 +65,7 @@ N=30
 if not FAST:
     t0=time.time()
     for _ in range(N): rgb, g, stats = framef(draws)
-    jax.block_until_ready(rgb)
+    _ = float(jnp.sum(rgb))  # host read (quirk 12)
     dt=(time.time()-t0)/N
     print("per-call frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
 
@@ -80,13 +82,13 @@ def chain(n):
         return c + r[::64, ::64].sum(), None
     return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
 chainf = jax.jit(chain, static_argnums=0)
-jax.block_until_ready(chainf(N))
+float(chainf(N))  # warmup forced by host read (quirk 12)
 # quiet the remote compile service before the measured run (CLAUDE.md
 # trap 10b: executions read 100-1000x slow while it is busy) — this is
 # WHY the r3 gate captured 72 FPS where a quiet process read 87
 if jax.default_backend() != "cpu":
     time.sleep(45)
-t0=time.time(); jax.block_until_ready(chainf(N)); dt=(time.time()-t0)/N
+t0=time.time(); float(chainf(N)); dt=(time.time()-t0)/N  # host read
 print("chained frame: %.2f ms -> %.1f FPS" % (dt*1e3, 1/dt), flush=True)
 import json
 print("BENCH_JSON " + json.dumps({"metric": "city_720p_fps", "value": round(1/dt, 1),

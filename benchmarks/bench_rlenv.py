@@ -44,19 +44,27 @@ def main():
         flush=True,
     )
 
+    import jax.numpy as jnp
+
+    def force(out):
+        # HOST READ of a device scalar: block_until_ready can phantom-
+        # return on the axon backend (CLAUDE.md quirk 12)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+
     fast = os.environ.get("SCX_BENCH_FAST", "0") == "1"  # driver budget mode
     actions = np.tile(np.asarray([[0.7, 0.0, 0.1, 0.0]], np.float32), (n_envs, 1))
     steps = 10
     if not fast:
         t0 = time.time()
         obs, rew = env.step(actions)
-        jax.block_until_ready(obs)
+        force(obs)
         print(f"compile+first step {time.time()-t0:.1f}s; obs {obs.shape}", flush=True)
 
         t0 = time.time()
         for _ in range(steps):
             obs, rew = env.step(actions)
-        jax.block_until_ready(obs)
+        force(obs)
         dt = time.time() - t0
         rate = n_envs * steps / dt
         obs_desc = (
@@ -71,7 +79,7 @@ def main():
 
     # device-resident rollout: obs consumed on chip (policy-on-chip shape)
     aux = env.rollout(actions, length=steps)
-    jax.block_until_ready(aux)
+    force(aux)
     # Run a SECOND untimed rollout: the warm call's chunker starts cold and
     # picks small launch lengths; once its duration estimate converges it
     # chooses BIGGER chunk lengths the warm call never compiled, and a
@@ -81,7 +89,7 @@ def main():
     # measured call). The convergence call compiles every length the
     # measured calls will use.
     aux = env.rollout(actions, length=steps)
-    jax.block_until_ready(aux)
+    force(aux)
     # quiet the remote compile service before measuring (CLAUDE.md trap 10b)
     if jax.default_backend() != "cpu":
         time.sleep(45)  # in the gate's FAST mode too: contamination is
@@ -90,7 +98,7 @@ def main():
     for _ in range(2):
         t0 = time.time()
         aux = env.rollout(actions, length=steps)
-        jax.block_until_ready(aux)
+        force(aux)  # timed region ends with a host read (quirk 12)
         dt = min(dt, time.time() - t0)
     rate = n_envs * steps / dt
     print(

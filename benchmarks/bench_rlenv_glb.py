@@ -72,16 +72,22 @@ def main():
     # compile + warm with the SAME length as the measurement: a different
     # scan length is a different program, and a remote compile landing
     # inside the measured call once inflated 260 ms/step to 7 s/step
+    import jax.numpy as jnp
+
+    def force(x):
+        # HOST READ: block_until_ready can phantom-return (quirk 12)
+        return float(jnp.sum(jnp.asarray(x).astype(jnp.float32)))
+
     t0 = time.time()
     means, rews = env.rollout(actions, length=length)
-    jax.block_until_ready(rews)
+    force(rews)
     print(f"compile+first rollout: {time.time()-t0:.1f}s", flush=True)
     # second untimed rollout so the converged chunker's (bigger) launch
     # lengths are compiled BEFORE the measured calls — a remote compile
     # inside a measured call reads 100-1000x slow; do NOT reset
     # env._chunker, that forces the re-learn into the measurement
     means, rews = env.rollout(actions, length=length)
-    jax.block_until_ready(rews)
+    force(rews)
     # quiet the remote compile service (CLAUDE.md trap 10b)
     if jax.default_backend() != "cpu":
         time.sleep(45)  # gate FAST mode included (trap 10b)
@@ -90,7 +96,7 @@ def main():
     for _ in range(2):
         t0 = time.time()
         means, rews = env.rollout(actions, length=length)
-        jax.block_until_ready(rews)
+        force(rews)  # timed region ends with a host read (quirk 12)
         best = min(best, time.time() - t0)
     dt = best
     rate = envs * length / dt

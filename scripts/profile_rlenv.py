@@ -276,6 +276,14 @@ def main():
         "bp+con+warm": jax.jit(chain_warmstart),
     }
 
+    def force(out):
+        # HOST READ of a device-computed scalar: block_until_ready can
+        # phantom-return on the axon backend (CLAUDE.md quirk 12), which
+        # silently turns every block-based timing into a dispatch-rate
+        # measure. float() of a device sum cannot return early.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+
     # compile everything first
     compiled = {}
     takes_cache = {
@@ -289,7 +297,7 @@ def main():
             out = fn(batch, cache)
         else:
             out = fn(batch)
-        jax.block_until_ready(out)
+        force(out)
         compiled[name] = fn
         print(f"compiled {name} in {time.time()-t0:.1f}s", flush=True)
 
@@ -304,7 +312,7 @@ def main():
             out = fn(batch, cache)
         else:
             out = fn(batch)
-        jax.block_until_ready(out)
+        force(out)  # timed region ends with a host read (quirk 12)
         dt_ms = (time.time() - t0) / N * 1e3
         results[name] = dt_ms
         print(f"{name:>14}: {dt_ms:8.2f} ms/fleet-step "

@@ -215,11 +215,17 @@ def main():
         stages.append(("+bin", chain_bin))
     stages += [("+raster", chain_full), ("obs_full", chain_obs)]
 
+    def force(out):
+        # HOST READ of a device-computed scalar — block_until_ready can
+        # phantom-return on the axon backend (CLAUDE.md quirk 12)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+
     compiled = []
     for name, fn in stages:
         jfn = jax.jit(fn)
         t0 = time.time()
-        jax.block_until_ready(jfn(batch))
+        force(jfn(batch))
         print(f"compiled {name} in {time.time()-t0:.1f}s", flush=True)
         compiled.append((name, jfn))
 
@@ -230,7 +236,7 @@ def main():
     results = {}
     for name, fn in compiled:
         t0 = time.time()
-        jax.block_until_ready(fn(batch))
+        force(fn(batch))  # timed region ends with a host read (quirk 12)
         dt_ms = (time.time() - t0) / N * 1e3
         results[name] = dt_ms
         print(f"{name:>10}: {dt_ms:8.2f} ms/fleet-step "
