@@ -67,8 +67,23 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
         & (flat_i < flat_j)
     )
 
+    kflat, n_valid = compact_flat_indices(valid, max_pairs)
+    ia = kflat // n
+    ib = kflat - ia * n
+    val = jnp.arange(max_pairs) < n_valid
+    return ia, ib, val, n_valid
+
+
+def compact_flat_indices(valid, max_pairs: int):
+    """Fixed-capacity compaction of a flat boolean mask: returns
+    (kflat [max_pairs] i32 — the flat indices of the first max_pairs True
+    entries in ascending order, 0-filled past the count — and the total
+    True count). Sort-free; shared by the pair-list and planar broadphases.
+    """
+    m = valid.shape[0]
+    flat = jnp.arange(m, dtype=jnp.int32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    if _TOPK_MIN <= n * n <= _TOPK_LIMIT:
+    if _TOPK_MIN <= m <= _TOPK_LIMIT:
         # sort-free compaction by BLOCK-RANK RECOVERY: the k-th valid flat
         # index is found by (a) lane-wise cumsum within 128-lane blocks,
         # (b) a tiny [cap, B] compare-sum locating k's block from the
@@ -77,7 +92,6 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
         # biggest op of the RL physics step (26 ms/step at 1024 envs);
         # exact same output order (ascending flat), no sort, no scatter.
         w = 128
-        m = n * n
         pad = (-m) % w
         v = valid.astype(jnp.int32)
         if pad:
@@ -111,7 +125,4 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
             .at[pos]
             .set(flat, mode="drop")[:max_pairs]
         )
-    ia = kflat // n
-    ib = kflat - ia * n
-    val = jnp.arange(max_pairs) < n_valid
-    return ia, ib, val, n_valid
+    return kflat, n_valid

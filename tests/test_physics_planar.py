@@ -1,0 +1,271 @@
+"""Planar (plane-layout) physics path vs the conventional per-scene path.
+
+The planar path re-implements the identical formulas in component-plane
+layout (scx/physics/planar.py); these tests pin exact agreement where the
+math is discrete (broadphase pair lists, contact candidate selection,
+warm-start keys) and tight numeric agreement for the solve/trajectories.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scx import physics as ph
+from scx.core import prng
+from scx.physics import planar as pp
+from scx.physics.broadphase import broadphase_pairs
+from scx.physics.contacts import MAX_CONTACTS_PER_PAIR, generate_contacts
+from scx.physics.solver import SolverParams, solve_velocity, step_bodies_cached
+from scx.physics.warmstart import empty_contact_cache, gather_warm_impulses
+
+K = MAX_CONTACTS_PER_PAIR
+
+
+def mixed_scene(n=24, seed=7, with_caps=True):
+    """Ground slab + random boxes/spheres/capsules, deterministic."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = rng.uniform(-4, 4, n)
+    pos[:, 1] = rng.uniform(0.5, 4.0, n)
+    pos[:, 2] = rng.uniform(-4, 4, n)
+    pos[0] = [0.0, -0.55, 0.0]
+    size = np.full((n, 3), 0.5, np.float32)
+    size[0] = [8.0, 0.05, 8.0]
+    shape = np.zeros((n,), np.int32)
+    if with_caps:
+        shape[1::3] = ph.rigid.SHAPE_SPHERE
+        shape[2::3] = ph.rigid.SHAPE_CAPSULE
+    body_type = np.full((n,), ph.rigid.BODY_DYNAMIC, np.int32)
+    body_type[0] = ph.rigid.BODY_STATIC
+    # random-ish orientations
+    ang = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    from scx.core import math3d as m3
+
+    quat = m3.quat_from_euler_xyz(
+        jnp.asarray(ang[:, 0]), jnp.asarray(ang[:, 1]), jnp.asarray(ang[:, 2])
+    )
+    b = ph.make_bodies(
+        jnp.asarray(pos),
+        quat=quat,
+        size=jnp.asarray(size),
+        shape=jnp.asarray(shape),
+        body_type=jnp.asarray(body_type),
+        vel=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+    )
+    return b
+
+
+def stk3(v):
+    return np.stack([np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], -1)
+
+
+@pytest.mark.parametrize("with_caps", [False, True])
+def test_broadphase_parity(with_caps):
+    b = mixed_scene(with_caps=with_caps)
+    p = pp.planar_from_rigid(b)
+    ia, ib, val, n_cand = broadphase_pairs(b, 64)
+    ia2, ib2, val2, n2 = pp.planar_broadphase(p, 64)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(val2))
+    np.testing.assert_array_equal(
+        np.asarray(ia)[np.asarray(val)], np.asarray(ia2)[np.asarray(val2)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ib)[np.asarray(val)], np.asarray(ib2)[np.asarray(val2)]
+    )
+    assert int(n_cand) == int(n2)
+
+
+def test_roundtrip_conversion():
+    b = mixed_scene()
+    b2 = pp.rigid_from_planar(pp.planar_from_rigid(b))
+    for leaf1, leaf2 in zip(
+        jax.tree_util.tree_leaves(b), jax.tree_util.tree_leaves(b2)
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+
+@pytest.mark.parametrize("with_caps", [False, True])
+def test_contacts_parity(with_caps):
+    b = mixed_scene(with_caps=with_caps)
+    p = pp.planar_from_rigid(b)
+    params = SolverParams(max_pairs=64)
+    ia, ib, val, _ = broadphase_pairs(b, params.max_pairs)
+    con = generate_contacts(b, ia, ib, val)
+    pcon = pp.planar_contacts(p, ia, ib, val)
+
+    P = params.max_pairs
+    # conventional: [P*K] pair-blocked; planar: [K, P]
+    c_valid = np.asarray(con.valid).reshape(P, K).T
+    np.testing.assert_array_equal(np.asarray(pcon.valid), c_valid)
+    c_cand = np.asarray(con.cand).reshape(P, K).T
+    c_depth = np.asarray(con.depth).reshape(P, K).T
+    p_depth = np.asarray(pcon.depth)
+    m = c_valid
+    np.testing.assert_array_equal(np.asarray(pcon.cand)[m], c_cand[m])
+    np.testing.assert_allclose(p_depth[m], c_depth[m], atol=1e-5)
+    c_pt = np.asarray(con.point).reshape(P, K, 3).transpose(1, 0, 2)
+    c_nm = np.asarray(con.normal).reshape(P, K, 3).transpose(1, 0, 2)
+    np.testing.assert_allclose(stk3(pcon.point)[m], c_pt[m], atol=1e-4)
+    np.testing.assert_allclose(stk3(pcon.normal)[m], c_nm[m], atol=1e-5)
+    # trigger accounting matches
+    c_trig = np.asarray(con.trigger_overlap).reshape(P, K).T
+    np.testing.assert_array_equal(np.asarray(pcon.trigger_overlap), c_trig)
+
+
+@pytest.mark.parametrize("with_caps", [False, True])
+def test_solve_parity(with_caps):
+    b = mixed_scene(with_caps=with_caps)
+    p = pp.planar_from_rigid(b)
+    params = SolverParams(max_pairs=64, iterations=6)
+    ia, ib, val, _ = broadphase_pairs(b, params.max_pairs)
+    con = generate_contacts(b, ia, ib, val)
+    pcon = pp.planar_contacts(p, ia, ib, val)
+    vel, omega, lam, cnt = solve_velocity(b, con, params)
+    pvel, pomega, (ln, l1, l2), pcnt = pp.planar_solve(
+        p, pcon, params, ia, ib
+    )
+    np.testing.assert_allclose(stk3(pvel), np.asarray(vel), atol=2e-4)
+    np.testing.assert_allclose(stk3(pomega), np.asarray(omega), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pcnt), np.asarray(cnt), atol=1e-5)
+    P = params.max_pairs
+    c_lam = np.asarray(lam).reshape(P, K, 3).transpose(1, 0, 2)
+    m = np.asarray(pcon.valid)
+    np.testing.assert_allclose(np.asarray(ln)[m], c_lam[..., 0][m], atol=2e-4)
+
+
+@pytest.mark.parametrize("with_caps", [False, True])
+def test_trajectory_parity(with_caps):
+    """Warm-started multi-step trajectories stay together (identical
+    formulas; only f32 reassociation differs). Rolling spheres/capsules
+    amplify rounding chaos much faster than boxes, so the caps variant
+    runs fewer steps and tolerates small contact-count drift."""
+    steps = 6 if with_caps else 12
+    b = mixed_scene(with_caps=with_caps)
+    p = pp.planar_from_rigid(b)
+    params = SolverParams(max_pairs=64, iterations=6)
+    cache = empty_contact_cache(params.max_pairs)
+    pcache = pp.empty_planar_cache(params.max_pairs)
+
+    @jax.jit
+    def run_conv(b, cache):
+        def step(carry, _):
+            b, c = carry
+            b, c, st = step_bodies_cached(b, params, c)
+            return (b, c), st["contacts"]
+        return jax.lax.scan(step, (b, cache), None, length=steps)
+
+    @jax.jit
+    def run_planar(p, pc):
+        def step(carry, _):
+            p, c = carry
+            p, c, st = pp.step_planar_cached(p, params, c)
+            return (p, c), st["contacts"]
+        return jax.lax.scan(step, (p, pc), None, length=steps)
+
+    (b_f, _), n_conv = run_conv(b, cache)
+    (p_f, _), n_planar = run_planar(p, pcache)
+    if with_caps:
+        assert np.max(np.abs(np.asarray(n_conv) - np.asarray(n_planar))) <= 2
+    else:
+        np.testing.assert_array_equal(np.asarray(n_conv), np.asarray(n_planar))
+    np.testing.assert_allclose(
+        stk3(p_f.pos), np.asarray(b_f.pos), atol=2e-3
+    )
+    q_f = np.stack(
+        [np.asarray(p_f.quat.w), np.asarray(p_f.quat.x),
+         np.asarray(p_f.quat.y), np.asarray(p_f.quat.z)], -1
+    )
+    np.testing.assert_allclose(q_f, np.asarray(b_f.quat), atol=2e-3)
+
+
+def test_warmstart_parity():
+    """Convert the conventional cache to planar form and compare the warm
+    gather on IDENTICAL inputs (independent 2-step runs drift enough to
+    flip near-tie candidate picks, which is not what this pins)."""
+    b = mixed_scene()
+    params = SolverParams(max_pairs=64, iterations=4)
+    cache = empty_contact_cache(params.max_pairs)
+    for _ in range(2):
+        b, cache, _ = step_bodies_cached(b, params, cache)
+    P = params.max_pairs
+    pcache = pp.PlanarCache(
+        key_a=cache.key_a,
+        key_b=cache.key_b,
+        cand=np.asarray(cache.cand).T,
+        lam_n=np.asarray(cache.lam).reshape(P, K, 3)[..., 0].T,
+        lam_1=np.asarray(cache.lam).reshape(P, K, 3)[..., 1].T,
+        lam_2=np.asarray(cache.lam).reshape(P, K, 3)[..., 2].T,
+    )
+    p = pp.planar_from_rigid(b)
+    ia, ib, val, _ = broadphase_pairs(b, params.max_pairs)
+    con = generate_contacts(b, ia, ib, val)
+    lam0 = gather_warm_impulses(cache, ia, ib, val, con.cand, b.n)
+    pcon = pp.planar_contacts(p, ia, ib, val)
+    np.testing.assert_array_equal(
+        np.asarray(pcon.cand), np.asarray(con.cand).reshape(P, K).T
+    )
+    ln, l1, l2 = pp.planar_gather_warm(pcache, ia, ib, val, pcon.cand)
+    c_lam0 = np.asarray(lam0).reshape(P, K, 3).transpose(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(ln), c_lam0[..., 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l1), c_lam0[..., 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2), c_lam0[..., 2], atol=1e-6)
+
+
+def test_tower_stability_planar():
+    """8-box tower holds under the production setting (6 warm iterations) —
+    mirrors the conventional tower test."""
+    n = 9
+    pos = np.zeros((n, 3), np.float32)
+    pos[0] = [0, -0.55, 0]
+    for i in range(1, n):
+        pos[i] = [0, 0.5 + (i - 1) * 1.001, 0]
+    size = np.full((n, 3), 0.5, np.float32)
+    size[0] = [8, 0.05, 8]
+    bt = np.full((n,), ph.rigid.BODY_DYNAMIC, np.int32)
+    bt[0] = ph.rigid.BODY_STATIC
+    b = ph.make_bodies(
+        jnp.asarray(pos), size=jnp.asarray(size), body_type=jnp.asarray(bt)
+    )
+    p = pp.planar_from_rigid(b)
+    params = SolverParams(max_pairs=64, iterations=8)
+    pcache = pp.empty_planar_cache(params.max_pairs)
+
+    @jax.jit
+    def run(p, pc):
+        def step(carry, _):
+            p, c = carry
+            p, c, _ = pp.step_planar_cached(p, params, c)
+            return (p, c), None
+        return jax.lax.scan(step, (p, pc), None, length=300)[0]
+
+    p_f, _ = run(p, pcache)
+    ys = np.asarray(p_f.pos.y)[1:]
+    # boxes fall 0.5 onto the slab and settle at centers 0, 1.001, ... —
+    # same bound as the conventional 8-box tower test (test_physics_solver)
+    want = np.arange(n - 1, dtype=np.float64)
+    assert np.max(np.abs(ys - want)) < 0.3, ys
+    lat = np.abs(np.stack([np.asarray(p_f.pos.x), np.asarray(p_f.pos.z)]))
+    assert lat[:, 1:].max() < 0.25  # no lateral collapse
+
+
+def test_vmapped_fleet_step():
+    """The planar step vmaps over a fleet and matches per-scene results."""
+    scenes = [mixed_scene(seed=s) for s in (3, 4)]
+    params = SolverParams(max_pairs=64, iterations=4)
+    ps = [pp.planar_from_rigid(b) for b in scenes]
+    fleet = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    caches = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape),
+        pp.empty_planar_cache(params.max_pairs),
+    )
+    stepped, _, _ = jax.vmap(
+        lambda b, c: pp.step_planar_cached(b, params, c)
+    )(fleet, caches)
+    for i, p0 in enumerate(ps):
+        single, _, _ = pp.step_planar_cached(
+            p0, params, pp.empty_planar_cache(params.max_pairs)
+        )
+        np.testing.assert_allclose(
+            np.asarray(stepped.pos.x[i]), np.asarray(single.pos.x), atol=1e-5
+        )
