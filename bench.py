@@ -196,8 +196,14 @@ def _run_primary():
       * the chained launch length adapts to a short smoke measurement so a
         degraded device yields an honest slow number instead of a watchdog
         kill.
+
+    Physics path: the plane-layout fleet step (scx.physics.planar) — the
+    conventional [.., 3]-vector layout pays (8, 128) tile padding on every
+    materialized solver array and measured 266.7 ms/fleet-step against
+    planar's 31.4 on 2026-08-20 (scripts/profile_planar.py); equivalence
+    is pinned by tests/test_physics_planar.py.
     """
-    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics import planar as pp
 
     if not _wait_for_tunnel(120.0):
         print(_zero_line("TPU tunnel unreachable (child probe)"), flush=True)
@@ -212,7 +218,7 @@ def _run_primary():
             def step(carry, _):
                 b, c = carry
                 b, c, _ = jax.vmap(
-                    lambda s, sc: ph.step_bodies_cached(s, params, sc)
+                    lambda s, sc: pp.step_planar_cached(s, params, sc)
                 )(b, c)
                 return (b, c), None
 
@@ -226,12 +232,12 @@ def _run_primary():
     def force(out):
         """Host-read a device-computed scalar: the only wait that cannot be
         phantom. One f32 crosses the tunnel."""
-        return float(jnp.sum(out.pos[:, 1]))
+        return float(jnp.sum(out.pos.y))
 
-    batch = build_batch(ENVS, BODIES)
-    one_cache = empty_contact_cache(params.max_pairs)
+    batch = jax.jit(jax.vmap(pp.planar_from_rigid))(build_batch(ENVS, BODIES))
     caches = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (ENVS,) + x.shape), one_cache
+        lambda x: jnp.broadcast_to(x, (ENVS,) + x.shape),
+        pp.empty_planar_cache(params.max_pairs),
     )
 
     # ---- smoke: short launch, AOT compile, quiet pause after any fresh

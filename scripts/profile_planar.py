@@ -92,29 +92,31 @@ def main():
     # pos-dependent stages out of the scan (the trap that made the
     # conventional profiler's stage sums 4x under the full step) ---------
     def _prefix(depth):
+        def one(s, cc):
+            s = pp.planar_integrate_velocities(s, params.dt, params.gravity)
+            ia, ib_, val, n_cand = pp.planar_broadphase(s, params.max_pairs)
+            acc = (n_cand + jnp.sum(val)).astype(jnp.float32)
+            if depth >= 2:
+                con = pp.planar_contacts(s, ia, ib_, val)
+                acc = acc + jnp.sum(con.depth) + jnp.sum(con.valid)
+            if depth >= 3:
+                lam0 = pp.planar_gather_warm(cc, ia, ib_, val, con.cand)
+                acc = acc + sum(jnp.sum(l) for l in lam0)
+            if depth >= 4:
+                vel, om, (ln, l1, l2), cnt = pp.planar_solve(
+                    s, con, params, ia, ib_, lam0)
+                s = s.replace(vel=vel, omega=om)
+                acc = acc + jnp.sum(cnt)
+            if depth >= 5:
+                cc = pp.planar_store(cc, ia, ib_, val, con, ln, l1, l2)
+                acc = acc + jnp.sum(cc.lam_n)
+            s = s.replace(vel=s.vel * (1.0 + acc * 0.0))
+            return pp.planar_integrate_positions(s, params.dt), cc
+
         def chain(b, c):
             def body(carry, _):
                 s, cc = carry
-                s = pp.planar_integrate_velocities(s, params.dt, params.gravity)
-                ia, ib_, val, n_cand = pp.planar_broadphase(s, params.max_pairs)
-                acc = (n_cand + jnp.sum(val)).astype(jnp.float32)
-                if depth >= 2:
-                    con = pp.planar_contacts(s, ia, ib_, val)
-                    acc = acc + jnp.sum(con.depth) + jnp.sum(con.valid)
-                if depth >= 3:
-                    lam0 = pp.planar_gather_warm(cc, ia, ib_, val, con.cand)
-                    acc = acc + sum(jnp.sum(l) for l in lam0)
-                if depth >= 4:
-                    vel, om, (ln, l1, l2), cnt = pp.planar_solve(
-                        s, con, params, ia, ib_, lam0)
-                    s = s.replace(vel=vel, omega=om)
-                    acc = acc + jnp.sum(cnt)
-                if depth >= 5:
-                    cc = pp.planar_store(cc, ia, ib_, val, con, ln, l1, l2)
-                    acc = acc + jnp.sum(cc.lam_n)
-                s = s.replace(vel=s.vel * (1.0 + acc * 0.0))
-                s = pp.planar_integrate_positions(s, params.dt)
-                return (s, cc), None
+                return jax.vmap(one)(s, cc), None
             return jax.lax.scan(body, (b, c), None, length=N)[0]
         return jax.jit(chain)
 

@@ -251,9 +251,9 @@ class CityRLEnv:
 
     def _build_cache(self):
         """Per-env contact warm-start caches (zeros)."""
-        from scx.physics.warmstart import empty_contact_cache
+        from scx.physics.world import empty_sync_cache
 
-        one = empty_contact_cache(self.sim.solver.max_pairs)
+        one = empty_sync_cache(self.sim.solver.max_pairs)
         return jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_envs,) + x.shape), one
         )

@@ -100,7 +100,7 @@ def make_sim_tick(
     (state, cache, despawn_mask, telemetry scalars).
 
     `cache` is the contact warm-start cache (scx.physics.warmstart
-    .empty_contact_cache(sim.solver.max_pairs)), threaded across frames by
+    .empty_sync_cache(sim.solver.max_pairs)), threaded across frames by
     the caller. Telemetry includes physics capacity overflow counters."""
     tcfg = cfg.traffic
     dt = cfg.physics.fixed_dt
@@ -295,9 +295,9 @@ class Sandbox:
             ),
             vehicle=VehicleParams(),
         )
-        from scx.physics.warmstart import empty_contact_cache
+        from scx.physics.world import empty_sync_cache
 
-        self._cache = empty_contact_cache(self.sim.solver.max_pairs)
+        self._cache = empty_sync_cache(self.sim.solver.max_pairs)
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
         self._render = jax.jit(self._render_impl)
         self.static_bake = static_bake
@@ -338,14 +338,14 @@ class Sandbox:
         """Re-jit the device tick after a live config/sim-params change
         (the DebugConsole's equivalent of the reference's sliders mutating
         Bullet state directly — compile-time constants need a recompile)."""
-        from scx.physics.warmstart import empty_contact_cache
+        from scx.physics.world import empty_sync_cache
 
         self._tick = jax.jit(make_sim_tick(self.cfg, self.sim))
         # the warm-start cache is shaped by max_pairs; a live change (e.g.
         # 'set physics.max_pairs N') must resize it with the tick or the
         # next frame trips a shape mismatch
         if self._cache.key_a.shape[0] != self.sim.solver.max_pairs:
-            self._cache = empty_contact_cache(self.sim.solver.max_pairs)
+            self._cache = empty_sync_cache(self.sim.solver.max_pairs)
 
     def console(self):
         """Lazily-built live-tuning console (scx.app.debugui)."""
@@ -720,7 +720,7 @@ class Sandbox:
         the post-load trajectory is bit-identical to the uninterrupted one
         (tests/test_app_sandbox.py::test_save_load_resume_bitwise)."""
         from scx.app import checkpoint
-        from scx.physics.warmstart import empty_contact_cache
+        from scx.physics.world import empty_sync_cache
 
         loaded = checkpoint.load_checkpoint(path)
         if loaded is None:
@@ -757,7 +757,7 @@ class Sandbox:
             mask = np.zeros(self.capacity, bool)
             mask[np.asarray(pending, int)] = True
             self._pending_lod_despawn = mask
-        fresh = empty_contact_cache(self.sim.solver.max_pairs)
+        fresh = empty_sync_cache(self.sim.solver.max_pairs)
         cached = checkpoint.load_aux_pytree(path + ".cache", fresh)
         self._cache = jax.device_put(cached) if cached is not None else fresh
         self._bake_dirty = True  # restored static set needs a fresh bake

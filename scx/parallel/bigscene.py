@@ -151,7 +151,7 @@ def make_bigscene_entity_step(
 
     Returns jitted f(state [S,N] over 'sp', cache [S,...] over 'sp',
     lanes, view_proj) -> (state', cache', rgb rows over 'sp' | None,
-    stats). `cache` is a per-shard ContactCache (stack empty_contact_cache
+    stats). `cache` is a per-shard PlanarCache (stack empty_sync_cache
     S times, or reuse the returned one); thread it across calls for
     launch-to-launch warm starting. With raster=None the render stage is
     skipped (pure sim, e.g. equivalence tests on the physics+AI
@@ -301,12 +301,12 @@ def make_bigscene_entity_step(
 
 
 def empty_shard_caches(mesh, max_pairs: int):
-    """[S]-stacked empty ContactCaches, one per 'sp' shard — the initial
+    """[S]-stacked empty PlanarCaches, one per 'sp' shard — the initial
     `cache` argument of make_bigscene_entity_step."""
-    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics.world import empty_sync_cache
 
     s = mesh.shape["sp"]
-    one = empty_contact_cache(max_pairs)
+    one = empty_sync_cache(max_pairs)
     return jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape), one)
 
 

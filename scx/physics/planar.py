@@ -254,6 +254,17 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=m3.PRECISION)
 
 
+def _bar(tree):
+    """Materialization barrier. XLA fusions have no temporaries — a node
+    feeding k consumers inside one fusion is RECOMPUTED k times — and the
+    narrowphase's deeply-shared SAT chain fused into a single kernel that
+    measured 19.3 ms/step at 1024x64 (one fusion = 65% of the whole step,
+    scripts/trace_planar_contacts.py 2026-08-20). Forcing the shared
+    intermediates to materialize cuts the duplication; the planes are
+    ~1 MB each so the extra HBM round-trips are noise by comparison."""
+    return jax.lax.optimization_barrier(tree)
+
+
 # ---------------------------------------------------------------------------
 # box-box SAT manifold (boxbox.py in plane form — same formulas/ordering)
 # ---------------------------------------------------------------------------
@@ -326,6 +337,10 @@ def _face_candidates(h_ref: V3, h_inc: V3, r_inc, t_inc: V3, axis_i, sign_s):
         jnp.abs(ni) < 0.05, _sign_nz(ni, fallback=-sign_s) * 0.05, ni
     )
     h_i = pl.vdot(h_ref, e_i)
+    # shared by all 4 verts — materialize or the fusion recomputes 4x
+    (clamped, not_i, e_i, n_inc_ref, d_plane, safe_ni, h_i, sign_s) = _bar(
+        (clamped, not_i, e_i, n_inc_ref, d_plane, safe_ni, h_i, sign_s)
+    )
 
     pts, deps = [], []
     for c in clamped:
@@ -386,6 +401,7 @@ def _box_box(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     rb = pl.q_to_mat(quat_b)
     r = pl.mtm(ra, rb)
     t = pl.mtvec(ra, pos_b - pos_a)
+    ra, rb, r, t = _bar((ra, rb, r, t))
 
     absr = pl.mabs(r, _EPS)
     ov_face_a = h_a + pl.mvec(absr, h_b) - pl.vabs(t)
@@ -408,6 +424,9 @@ def _box_box(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
             ov_edge[i][j] = jnp.where(ln < 1e-4, jnp.inf, ov)
             axes_n[i][j] = an
 
+    axes_n, ov_edge, ov_face_a, ov_face_b = _bar(
+        (axes_n, ov_edge, ov_face_a, ov_face_b)
+    )
     min_edge_all = ov_edge[0][0]
     for i in range(3):
         for j in range(3):
@@ -443,6 +462,7 @@ def _box_box(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     pts_fa, dep_fa = _face_candidates(h_a, h_b, r, t, best_fa, sign_a)
     pts_fa_w = [pos_a + pl.mvec(ra, p) for p in pts_fa]
     n_fa_w = -(pl.mcol_dyn(ra, best_fa) * sign_a)
+    pts_fa_w, dep_fa, n_fa_w = _bar((pts_fa_w, dep_fa, n_fa_w))
 
     # ref face on B (roles swapped)
     r_t = pl.mT(r)
@@ -451,6 +471,7 @@ def _box_box(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     pts_fb, dep_fb = _face_candidates(h_b, h_a, r_t, t2, best_fb, sign_b)
     pts_fb_w = [pos_b + pl.mvec(rb, p) for p in pts_fb]
     n_fb_w = pl.mcol_dyn(rb, best_fb) * sign_b
+    pts_fb_w, dep_fb, n_fb_w = _bar((pts_fb_w, dep_fb, n_fb_w))
 
     # edge-edge: select axes_n[bi][bj] (9-way static select)
     axis_e = axes_n[0][0]
@@ -465,6 +486,7 @@ def _box_box(pos_a, quat_a, h_a, pos_b, quat_b, h_b):
     pt_e_w = [pos_a + pl.mvec(ra, p) for p in pt_e]
     n_e_w = -pl.mvec(ra, axis_e)
     dep_e = [min_e - pen_e[0], min_e - pen_e[1]]
+    pt_e_w, n_e_w, dep_e = _bar((pt_e_w, n_e_w, dep_e))
 
     cands = []
     for v in range(4):
@@ -583,6 +605,7 @@ def _capsule_box(pos_a, quat_a, size_a, pos_b, quat_b, h_b):
     t1 = jnp.clip(pl.vhmin(pl.vmax(ta, tb)), 0.0, 1.0)
     c0 = a0 + (a1 - a0) * t0
     c1 = a0 + (a1 - a0) * t1
+    a0, a1, mid, c0, c1 = _bar((a0, a1, mid, c0, c1))
 
     is_sphere = size_a.y <= 1e-5
     out = []
@@ -591,7 +614,7 @@ def _capsule_box(pos_a, quat_a, size_a, pos_b, quat_b, h_b):
         if idx != 2:  # degenerate capsule (sphere): keep only the mid probe
             v = v & ~is_sphere
         out.append((p, n, dep, v))
-    return out
+    return _bar(out)
 
 
 def _pair_candidates(
@@ -782,13 +805,10 @@ def _pair_keys(ia, ib, pair_valid, key_id):
     if key_id is None:
         ka, kb = ia, ib
     else:
-        n = key_id.shape[0]
-        ka = _mm(
-            key_id.astype(jnp.float32)[None, :], _onehot(ia, n)
-        )[0].astype(jnp.int32)
-        kb = _mm(
-            key_id.astype(jnp.float32)[None, :], _onehot(ib, n)
-        )[0].astype(jnp.int32)
+        # direct i32 row lookup — a one-hot f32 matmul would round uids
+        # past 2^24 (bigscene keys by persistent entity uid); [P]-from-[N]
+        # gathers are noise at warm-start call counts
+        ka, kb = key_id[ia], key_id[ib]
     ka = jnp.where(pair_valid, ka, _EMPTY).astype(jnp.int32)
     kb = jnp.where(pair_valid, kb, _EMPTY).astype(jnp.int32)
     return ka, kb
@@ -893,6 +913,7 @@ def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
     im_b, pos_b, iw_b = unpack(sb)
     r_a = con.point - pos_a          # V3 of [K, P] (broadcast [P] -> [K, P])
     r_b = con.point - pos_b
+    r_a, r_b = _bar((r_a, r_b))
 
     def ang(iw_x, r, d):
         return pl.mvec(iw_x, pl.vcross(r, d))
@@ -909,6 +930,9 @@ def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
     kn = jnp.maximum(eff_mass(n, a_an, a_bn), 1e-9)
     k1 = jnp.maximum(eff_mass(t1, a_a1, a_b1), 1e-9)
     k2 = jnp.maximum(eff_mass(t2, a_a2, a_b2), 1e-9)
+    (n, t1, t2, a_an, a_bn, a_a1, a_b1, a_a2, a_b2, kn, k1, k2) = _bar(
+        (n, t1, t2, a_an, a_bn, a_a1, a_b1, a_a2, a_b2, kn, k1, k2)
+    )
 
     # velocities as one [6, N] stack; pair sides via ONE [6, N] @ [N, 2P]
     oh2 = jnp.concatenate([oh_a, oh_b], axis=1)  # [N, 2P]

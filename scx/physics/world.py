@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from scx.core import math3d as m3
 from scx.physics.rigid import RigidBodies, shape_inertia_diag
-from scx.physics.solver import SolverParams, step_bodies_cached
+from scx.physics.solver import SolverParams
 from scx.physics.vehicle import (
     VehicleParams,
     WheelConfig,
@@ -37,6 +37,14 @@ from scx.state.entity import (
 )
 
 MAX_VEHICLES = 32  # fixed vehicle-slot capacity per scene
+
+
+def empty_sync_cache(max_pairs: int):
+    """The warm-start cache physics_sync_step threads across steps
+    (plane-layout; scx.physics.planar.PlanarCache)."""
+    from scx.physics.planar import empty_planar_cache
+
+    return empty_planar_cache(max_pairs)
 
 
 def bodies_from_state(state: EntityState) -> RigidBodies:
@@ -196,10 +204,22 @@ def physics_sync_step(
     columns (per-entity live tuning, updateVehicleTuning parity —
     sc_physics.cpp:970-1013)."""
     del vparams  # per-entity tuning columns are authoritative
+    from scx.physics.planar import (
+        planar_from_rigid, rigid_from_planar, step_planar_cached,
+    )
+
     bodies = bodies_from_state(state)
     state, bodies, v_idx = vehicle_prestep(state, bodies, dt, max_vehicles)
 
-    bodies, cache, pstats = step_bodies_cached(bodies, params, cache, key_id)
+    # plane-layout solver core: the conventional [.., 3] layout pays
+    # (8, 128) tile padding on every materialized array under an env vmap
+    # (266.7 vs 31.4 ms/fleet-step at 1024x64, 2026-08-20); the layout
+    # conversions are [N]-level elementwise and fuse into the consumers.
+    # `cache` is a PlanarCache (scx.physics.planar.empty_planar_cache).
+    pb, cache, pstats = step_planar_cached(
+        planar_from_rigid(bodies), params, cache, key_id
+    )
+    bodies = rigid_from_planar(pb)
     state = write_back(state, bodies)
 
     # record vehicle speeds into traffic.speed for the AI's P-control

@@ -233,7 +233,7 @@ def test_bigscene_entity_step_matches_single_chip():
     single-chip composed step (VERDICT r2 item 4)."""
     from scx.core.config import EngineConfig, TrafficConfig
     from scx.app.sandbox import SimParams
-    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics.world import empty_sync_cache
     from scx.physics.world import bodies_from_state, physics_sync_step
     from scx.state import entity as st
     from scx.traffic.ai import traffic_ai_update
@@ -275,7 +275,7 @@ def test_bigscene_entity_step_matches_single_chip():
         return s, cache
 
     ref = s0
-    ref_cache = empty_contact_cache(sim.solver.max_pairs)
+    ref_cache = empty_sync_cache(sim.solver.max_pairs)
     for _ in range(n_steps):
         ref, ref_cache = ref_step(ref, ref_cache)
 

@@ -149,14 +149,14 @@ def test_per_vehicle_tuning_columns():
         )
     )
 
-    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics.world import empty_sync_cache
 
     dt = 1.0 / 60.0
     solver = ph.SolverParams(max_pairs=128, dt=dt)
     step = jax.jit(
         lambda s, c: physics_sync_step(s, solver, vh.VehicleParams(), dt, c)[:2]
     )
-    cache = empty_contact_cache(solver.max_pairs)
+    cache = empty_sync_cache(solver.max_pairs)
     for _ in range(150):
         st, cache = step(st, cache)
 
@@ -179,7 +179,7 @@ def test_vehicle_slot_cap_equivalence():
     import numpy as np
 
     from scx.physics.world import physics_sync_step
-    from scx.physics.warmstart import empty_contact_cache
+    from scx.physics.world import empty_sync_cache
     from scx.app.sandbox import spawn_player_vehicle
     from scx import state as st
 
@@ -210,7 +210,7 @@ def test_vehicle_slot_cap_equivalence():
     dt = 1.0 / 60.0
 
     def run(mv, ss):
-        cache = empty_contact_cache(solver.max_pairs)
+        cache = empty_sync_cache(solver.max_pairs)
         f = jax.jit(
             lambda x, c: physics_sync_step(
                 x, solver, vh.VehicleParams(), dt, c, max_vehicles=mv
