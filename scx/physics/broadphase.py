@@ -74,16 +74,24 @@ def broadphase_pairs(bodies: RigidBodies, max_pairs: int, margin: float = 0.02):
     return ia, ib, val, n_valid
 
 
-def compact_flat_indices(valid, max_pairs: int):
+def compact_flat_indices(valid, max_pairs: int, force_blockrank: bool = False):
     """Fixed-capacity compaction of a flat boolean mask: returns
     (kflat [max_pairs] i32 — the flat indices of the first max_pairs True
     entries in ascending order, 0-filled past the count — and the total
     True count). Sort-free; shared by the pair-list and planar broadphases.
+
+    force_blockrank: vmapped fleets MUST pass True — the small-m rank
+    scatter below batches into one flat element scatter (~200M elem/s,
+    CLAUDE.md quirk 4) that measured 19.3 ms/step at 1024 envs x 4096
+    lanes (65% of the whole planar physics step; it hid inside a kCustom
+    fusion attributed to the narrowphase until the device trace named
+    scx/physics/broadphase.py:126). The heuristic m-gate is only valid
+    for a SINGLE scene.
     """
     m = valid.shape[0]
     flat = jnp.arange(m, dtype=jnp.int32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    if _TOPK_MIN <= m <= _TOPK_LIMIT:
+    if force_blockrank or _TOPK_MIN <= m <= _TOPK_LIMIT:
         # sort-free compaction by BLOCK-RANK RECOVERY: the k-th valid flat
         # index is found by (a) lane-wise cumsum within 128-lane blocks,
         # (b) a tiny [cap, B] compare-sum locating k's block from the

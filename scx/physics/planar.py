@@ -230,7 +230,9 @@ def planar_broadphase(b: PlanarBodies, max_pairs: int, margin: float = 0.02):
         (overlap & either_dyn & layer_ok & both_active).reshape(n * n)
         & (flat_i < flat_j)
     )
-    kflat, n_valid = compact_flat_indices(valid, max_pairs)
+    # force the block-rank compaction: planar scenes are vmapped fleets,
+    # where the small-m rank scatter batches into a 19 ms flat scatter
+    kflat, n_valid = compact_flat_indices(valid, max_pairs, force_blockrank=True)
     ia = kflat // n
     ib = kflat - ia * n
     val = jnp.arange(max_pairs) < n_valid
