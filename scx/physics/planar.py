@@ -27,6 +27,8 @@ vmap over the leading axis for env fleets; lax.scan over steps with
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -256,6 +258,9 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=m3.PRECISION)
 
 
+_BARRIERS = [True]  # disabled while tracing inside the Pallas SAT kernel
+
+
 def _bar(tree):
     """Materialization barrier. XLA fusions have no temporaries — a node
     feeding k consumers inside one fusion is RECOMPUTED k times — and the
@@ -263,7 +268,12 @@ def _bar(tree):
     measured 19.3 ms/step at 1024x64 (one fusion = 65% of the whole step,
     scripts/trace_planar_contacts.py 2026-08-20). Forcing the shared
     intermediates to materialize cuts the duplication; the planes are
-    ~1 MB each so the extra HBM round-trips are noise by comparison."""
+    ~1 MB each so the extra HBM round-trips are noise by comparison.
+
+    Inside the Pallas SAT kernel this is a no-op: Mosaic emits SSA with
+    CSE (no duplication) and has no lowering for optimization_barrier."""
+    if not _BARRIERS[0]:
+        return tree
     return jax.lax.optimization_barrier(tree)
 
 
@@ -681,6 +691,200 @@ class PlanarContacts:
     pair_valid: jax.Array       # [P] bool (broadphase validity)
 
 
+def _sat_core(ga, gb, pvf, use_stack: bool):
+    """SAT narrowphase + top-K selection from gathered pair rows.
+
+    ga/gb [14, P] f32 (or [Eb, 14, P]-sliced planes inside the Pallas
+    kernel — everything broadcasts); pvf [P] f32 broadphase validity.
+    Returns a 12-tuple of plain arrays (see _SAT_OUT below).
+
+    use_stack selects the top-K implementation: jnp.stack + argmax for
+    the XLA path (selecting from live candidate expressions makes XLA
+    duplicate the whole SAT graph into every select), a first-max select
+    loop for the Mosaic path (SSA + CSE, no duplication; leading-axis
+    argmax is the riskier lowering there). Identical results.
+    """
+    pair_valid = pvf > 0.5
+
+    def unpack(g):
+        return (
+            V3(g[..., 0, :], g[..., 1, :], g[..., 2, :]),
+            Q4(g[..., 3, :], g[..., 4, :], g[..., 5, :], g[..., 6, :]),
+            g[..., 7, :].astype(jnp.int32),
+            V3(g[..., 8, :], g[..., 9, :], g[..., 10, :]),
+            g[..., 11, :], g[..., 12, :], g[..., 13, :],
+        )
+
+    pos_a, quat_a, shape_a, size_a, fr_a, re_a, tg_a = unpack(ga)
+    pos_b, quat_b, shape_b, size_b, fr_b, re_b, tg_b = unpack(gb)
+
+    cands = _pair_candidates(
+        pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b
+    )
+    neg_inf = jnp.float32(-jnp.inf)
+    sel_pt, sel_nm, sel_dp, sel_vd, sel_id = [], [], [], [], []
+    if use_stack:
+        # top-K deepest == the conventional path's lax.top_k over 10
+        # (argmax picks the first occurrence of the max)
+        dp_s = jnp.stack([c[2] for c in cands])                # [10, ...]
+        vd_s = jnp.stack([c[3] for c in cands])
+        ptx = jnp.stack([c[0].x for c in cands])
+        pty = jnp.stack([c[0].y for c in cands])
+        ptz = jnp.stack([c[0].z for c in cands])
+        nmx = jnp.stack([c[1].x for c in cands])
+        nmy = jnp.stack([c[1].y for c in cands])
+        nmz = jnp.stack([c[1].z for c in cands])
+        score = jnp.where(vd_s & pair_valid[None], dp_s, neg_inf)
+        slot_ids = jnp.arange(_N_CAND, dtype=jnp.int32).reshape(
+            (_N_CAND,) + (1,) * (score.ndim - 1)
+        )
+        for _k in range(_K):
+            best = jnp.max(score, axis=0)
+            bidx = jnp.argmax(score, axis=0).astype(jnp.int32)
+            oh = slot_ids == bidx[None]
+            pick = lambda s: jnp.sum(jnp.where(oh, s, 0.0), axis=0)
+            sel_pt.append(V3(pick(ptx), pick(pty), pick(ptz)))
+            sel_nm.append(V3(pick(nmx), pick(nmy), pick(nmz)))
+            sel_dp.append(pick(dp_s))
+            sel_vd.append(jnp.isfinite(best) & (best > 0.0))
+            sel_id.append(bidx)
+            score = jnp.where(oh, neg_inf, score)
+    else:
+        scores = [
+            jnp.where(vd & pair_valid, dp, neg_inf)
+            for (_, _, dp, vd) in cands
+        ]
+        for _k in range(_K):
+            best = scores[0]
+            bidx = jnp.zeros_like(shape_a)
+            for s in range(1, _N_CAND):
+                better = scores[s] > best  # strict: first-max like argmax
+                bidx = jnp.where(better, s, bidx)
+                best = jnp.maximum(best, scores[s])
+            p, nm, dp = cands[0][0], cands[0][1], cands[0][2]
+            for s in range(1, _N_CAND):
+                hit = bidx == s
+                p = pl.vwhere(hit, cands[s][0], p)
+                nm = pl.vwhere(hit, cands[s][1], nm)
+                dp = jnp.where(hit, cands[s][2], dp)
+            sel_pt.append(p)
+            sel_nm.append(nm)
+            sel_dp.append(dp)
+            sel_vd.append(jnp.isfinite(best) & (best > 0.0))
+            sel_id.append(bidx)
+            scores = [
+                jnp.where(bidx == s, neg_inf, scores[s])
+                for s in range(_N_CAND)
+            ]
+
+    return (
+        [p.x for p in sel_pt], [p.y for p in sel_pt], [p.z for p in sel_pt],
+        [p.x for p in sel_nm], [p.y for p in sel_nm], [p.z for p in sel_nm],
+        sel_dp,
+        [v.astype(jnp.float32) for v in sel_vd],
+        sel_id,
+        fr_a * fr_b,
+        re_a * re_b,
+        ((tg_a > 0.0) | (tg_b > 0.0)).astype(jnp.float32),
+    )
+
+
+def _sat_ref(ga, gb, pvf):
+    """Per-scene SAT: stacks the per-contact lists to [K, P] arrays."""
+    out = _sat_core(ga, gb, pvf, use_stack=True)
+    stK = lambda xs: jnp.stack(xs, axis=0)
+    return tuple(stK(o) if isinstance(o, list) else o for o in out)
+
+
+def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
+    """Fleet SAT as ONE Pallas kernel, grid over env blocks.
+
+    The XLA path emits the narrowphase as ~200 small fusions whose launch
+    overhead and materialization dominate (the long tail of the device
+    trace); Mosaic emits the whole chain as straight-line vector code
+    with CSE. ga/gb [E, 14, P], pvf [E, P] f32 -> the _sat_ref outputs
+    batched on axis 0.
+    """
+    from jax.experimental import pallas as plx
+
+    e, w, p = ga.shape
+    eb = 128 if e % 128 == 0 else (8 if e % 8 == 0 else e)
+    grid = (e // eb,)
+
+    def kernel(ga_ref, gb_ref, pv_ref, *outs):
+        old = _BARRIERS[0]
+        _BARRIERS[0] = False
+        try:
+            res = _sat_core(ga_ref[...], gb_ref[...], pv_ref[...],
+                            use_stack=False)
+        finally:
+            _BARRIERS[0] = old
+        (ptx, pty, ptz, nmx, nmy, nmz, dp, vd, cid, fr, re, tg) = res
+        for k in range(_K):
+            outs[0][:, k, :] = ptx[k]
+            outs[1][:, k, :] = pty[k]
+            outs[2][:, k, :] = ptz[k]
+            outs[3][:, k, :] = nmx[k]
+            outs[4][:, k, :] = nmy[k]
+            outs[5][:, k, :] = nmz[k]
+            outs[6][:, k, :] = dp[k]
+            outs[7][:, k, :] = vd[k]
+            outs[8][:, k, :] = cid[k]
+        outs[9][...] = fr
+        outs[10][...] = re
+        outs[11][...] = tg
+
+    kp = lambda: plx.BlockSpec((eb, _K, p), lambda i: (i, 0, 0))
+    pp_ = lambda: plx.BlockSpec((eb, p), lambda i: (i, 0))
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((e, _K, p), f32)] * 8
+        + [jax.ShapeDtypeStruct((e, _K, p), jnp.int32)]
+        + [jax.ShapeDtypeStruct((e, p), f32)] * 3
+    )
+    return plx.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            plx.BlockSpec((eb, w, p), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, w, p), lambda i: (i, 0, 0)),
+            pp_(),
+        ],
+        out_specs=[kp()] * 9 + [pp_()] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ga, gb, pvf)
+
+
+@jax.custom_batching.custom_vmap
+def _sat(ga, gb, pvf):
+    return _sat_ref(ga, gb, pvf)
+
+
+@_sat.def_vmap
+def _sat_vmap(axis_size, in_batched, ga, gb, pvf):
+    """Batched (env-fleet) SAT: one Pallas kernel on TPU-class backends,
+    vmapped XLA reference elsewhere or for shapes the kernel doesn't
+    block cleanly."""
+    if not all(in_batched):
+        ga, gb, pvf = (
+            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            for x, b in zip((ga, gb, pvf), in_batched)
+        )
+    use_kernel = (
+        ga.ndim == 3
+        and ga.shape[-1] % 128 == 0
+        and ga.shape[0] % 8 == 0
+        and jax.default_backend() != "cpu"
+        and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
+    )
+    if use_kernel:
+        out = _sat_fleet_pallas(ga, gb, pvf)
+    else:
+        out = jax.vmap(_sat_ref)(ga, gb, pvf)
+    return out, tuple(True for _ in out)
+
+
 def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
     n = b.n
     centers = _shape_centers(b)
@@ -700,75 +904,20 @@ def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
     ga = _mm(rows, oh_a)  # [14, P]
     gb = _mm(rows, oh_b)
 
-    def unpack(g):
-        return (
-            V3(g[0], g[1], g[2]),
-            Q4(g[3], g[4], g[5], g[6]),
-            g[7].astype(jnp.int32),
-            V3(g[8], g[9], g[10]),
-            g[11], g[12], g[13],
-        )
-
-    pos_a, quat_a, shape_a, size_a, fr_a, re_a, tg_a = unpack(ga)
-    pos_b, quat_b, shape_b, size_b, fr_b, re_b, tg_b = unpack(gb)
-
-    cands = _pair_candidates(
-        pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b
+    (ptx, pty, ptz, nmx, nmy, nmz, dp, vdf, cid, fr, re, tgf) = _sat(
+        ga, gb, pair_valid.astype(jnp.float32)
     )
-    # Materialize the 10 candidate records as [10, P] stacks BEFORE the
-    # top-K selection: selecting from the live candidate expressions lets
-    # XLA fuse/duplicate the whole SAT graph into every select (measured
-    # 9.5 s/step on CPU at toy sizes); the stacks cut it to microseconds.
-    dp_s = jnp.stack([c[2] for c in cands])                    # [10, P]
-    vd_s = jnp.stack([c[3] for c in cands])
-    ptx = jnp.stack([c[0].x for c in cands])
-    pty = jnp.stack([c[0].y for c in cands])
-    ptz = jnp.stack([c[0].z for c in cands])
-    nmx = jnp.stack([c[1].x for c in cands])
-    nmy = jnp.stack([c[1].y for c in cands])
-    nmz = jnp.stack([c[1].z for c in cands])
-
-    # mask by broadphase validity, score, select top-K deepest (the
-    # conventional path's lax.top_k over 10, first-index tie-breaking:
-    # argmax picks the first occurrence of the max)
-    neg_inf = jnp.float32(-jnp.inf)
-    score = jnp.where(vd_s & pair_valid[None, :], dp_s, neg_inf)
-    slot_ids = jnp.arange(_N_CAND, dtype=jnp.int32)[:, None]
-    sel_pt, sel_nm, sel_dp, sel_vd, sel_id = [], [], [], [], []
-    for _k in range(_K):
-        best = jnp.max(score, axis=0)
-        bidx = jnp.argmax(score, axis=0).astype(jnp.int32)
-        oh = slot_ids == bidx[None, :]
-        pick = lambda s: jnp.sum(jnp.where(oh, s, 0.0), axis=0)
-        sel_pt.append(V3(pick(ptx), pick(pty), pick(ptz)))
-        sel_nm.append(V3(pick(nmx), pick(nmy), pick(nmz)))
-        sel_dp.append(pick(dp_s))
-        sel_vd.append(jnp.isfinite(best) & (best > 0.0))
-        sel_id.append(bidx)
-        score = jnp.where(oh, neg_inf, score)
-
-    stK = lambda xs: jnp.stack(xs, axis=0)  # [K, P]
-    point = V3(
-        stK([p.x for p in sel_pt]),
-        stK([p.y for p in sel_pt]),
-        stK([p.z for p in sel_pt]),
-    )
-    normal = V3(
-        stK([p.x for p in sel_nm]),
-        stK([p.y for p in sel_nm]),
-        stK([p.z for p in sel_nm]),
-    )
-    is_trigger = (tg_a > 0.0) | (tg_b > 0.0)
-    valid_raw = stK(sel_vd)
+    valid_raw = vdf > 0.5
+    is_trigger = tgf > 0.5
     return PlanarContacts(
-        point=point,
-        normal=normal,
-        depth=stK(sel_dp),
-        valid=valid_raw & ~is_trigger[None, :],
-        cand=stK(sel_id),
-        friction=fr_a * fr_b,
-        restitution=re_a * re_b,
-        trigger_overlap=valid_raw & is_trigger[None, :],
+        point=V3(ptx, pty, ptz),
+        normal=V3(nmx, nmy, nmz),
+        depth=dp,
+        valid=valid_raw & ~is_trigger[None],
+        cand=cid,
+        friction=fr,
+        restitution=re,
+        trigger_overlap=valid_raw & is_trigger[None],
         pair_valid=pair_valid,
     )
 
