@@ -217,18 +217,23 @@ def _run_primary():
     params = ph.SolverParams(max_pairs=128, iterations=6)
 
     def make_rollout(length):
-        def rollout(batch, caches):
+        def rollout(batch, caches, ovf_in):
+            # ovf_in/ovf_out: running max of pair_overflow across EVERY
+            # step of every chained call (pair count peaks mid-settling,
+            # not at step 1 — a capacity drift must zero-line the bench,
+            # not silently drop contacts)
             def step(carry, _):
-                b, c = carry
-                b, c, _ = jax.vmap(
+                b, c, ovf = carry
+                b, c, stats = jax.vmap(
                     lambda s, sc: pp.step_planar_cached(s, params, sc)
                 )(b, c)
-                return (b, c), None
+                ovf = jnp.maximum(ovf, jnp.max(stats["pair_overflow"]))
+                return (b, c, ovf), None
 
-            (out, caches), _ = jax.lax.scan(
-                step, (batch, caches), None, length=length
+            (out, caches, ovf_out), _ = jax.lax.scan(
+                step, (batch, caches, ovf_in), None, length=length
             )
-            return out, caches
+            return out, caches, ovf_out
 
         return jax.jit(rollout, donate_argnums=(0, 1))
 
@@ -254,17 +259,18 @@ def _run_primary():
         print(_zero_line(f"pair capacity overflow ({ovf})"), flush=True)
         return
 
+    ovf_acc = jnp.int32(0)
     smoke_len = 10
     smoke = make_rollout(smoke_len)
     t0 = time.monotonic()
-    smoke_c = smoke.lower(batch, caches).compile()
+    smoke_c = smoke.lower(batch, caches, ovf_acc).compile()
     fresh_compile = (time.monotonic() - t0) > 5.0
-    batch, caches = smoke_c(batch, caches)
+    batch, caches, ovf_acc = smoke_c(batch, caches, ovf_acc)
     force(batch)  # completes the first launch before any timing
     if fresh_compile:
         time.sleep(45.0)  # let the compile-service window drain
     t0 = time.perf_counter()
-    batch, caches = smoke_c(batch, caches)
+    batch, caches, ovf_acc = smoke_c(batch, caches, ovf_acc)
     force(batch)
     smoke_dt = time.perf_counter() - t0
 
@@ -282,22 +288,30 @@ def _run_primary():
     else:
         roll = make_rollout(steps_per_call)
         t0 = time.monotonic()
-        roll_c = roll.lower(batch, caches).compile()
+        roll_c = roll.lower(batch, caches, ovf_acc).compile()
         if (time.monotonic() - t0) > 5.0:
-            batch, caches = roll_c(batch, caches)  # warm outside the timing
-            force(batch)
+            batch, caches, ovf_acc = roll_c(batch, caches, ovf_acc)
+            force(batch)  # warm outside the timing
             time.sleep(45.0)
         else:
-            batch, caches = roll_c(batch, caches)
+            batch, caches, ovf_acc = roll_c(batch, caches, ovf_acc)
             force(batch)
 
     best_dt = float("inf")
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         for _ in range(MEASURE_CALLS):
-            batch, caches = roll_c(batch, caches)
+            batch, caches, ovf_acc = roll_c(batch, caches, ovf_acc)
         force(batch)  # serial dependency: completes every chained call
         best_dt = min(best_dt, time.perf_counter() - t0)
+
+    # max pair_overflow across EVERY step of the whole run (host read)
+    total_ovf = int(ovf_acc)
+    if total_ovf > 0:
+        print(_zero_line(
+            f"pair capacity overflow mid-rollout (max {total_ovf})"
+        ), flush=True)
+        return
 
     env_steps = ENVS * steps_per_call * MEASURE_CALLS
     rate = env_steps / best_dt
@@ -403,7 +417,7 @@ def _secondaries():
         env = dict(os.environ)
         env.setdefault("SCX_BENCH_FAST", "1")  # scripts shrink warmups/rounds
         try:
-            rc, out, _ = _run_bounded(
+            rc, out, err = _run_bounded(
                 [sys.executable, os.path.join(root, script)],
                 timeout,
                 cwd=root,
@@ -418,6 +432,9 @@ def _secondaries():
                 yield {
                     "metric": script,
                     "error": f"rc={rc}, no BENCH_JSON line",
+                    # stderr tail makes gate failures diagnosable from the
+                    # BENCH artifact alone (round-4 rlenv rc=1 was not)
+                    "stderr_tail": err.strip()[-600:],
                 }
         except Exception as e:  # noqa: BLE001 — never break the primary line
             yield {"metric": script, "error": str(e)[:200]}

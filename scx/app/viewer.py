@@ -25,7 +25,7 @@ def save_frame(path: str, rgb, srgb: bool = True) -> str:
     arr = np.asarray(rgb)
     if srgb:
         arr = np.asarray(linear_to_srgb(arr))
-    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
     try:
         from PIL import Image
 
@@ -58,7 +58,7 @@ def frame_to_ansi(rgb, cols: int = 100, srgb: bool = True) -> str:
     arr = np.asarray(rgb)
     if srgb:
         arr = np.asarray(linear_to_srgb(arr))
-    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
     h, w = arr.shape[:2]
     rows = max(2, int(cols * h / w / 2) * 2)
     ys = (np.arange(rows) * h // rows).clip(0, h - 1)

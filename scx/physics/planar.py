@@ -652,7 +652,10 @@ def _pair_candidates(
     a_cap_b_box = (~is_box_a) & is_box_b
 
     z = jnp.zeros_like(pos_a.x)
-    invalid = (V3(z, z, z), V3(z, z, z), z - 1.0, jnp.zeros_like(bb))
+    # always-False via f32 compare, not a bool-zeros constant: Mosaic
+    # materializes dense i1 constants as i8 + trunci, which it then
+    # rejects ("Unsupported target bitwidth for truncation")
+    invalid = (V3(z, z, z), V3(z, z, z), z - 1.0, z > jnp.float32(1.0))
     cc_list = [(cc_p, cc_n, cc_d, cc_v)] + [invalid] * 9
     cb_list = list(cb_c) + [invalid] * 5
     bc_list = list(bc_c) + [invalid] * 5
@@ -662,8 +665,12 @@ def _pair_candidates(
         pt = pl.vwhere(bb, bbq[0], pl.vwhere(cc, ccq[0], pl.vwhere(a_cap_b_box, cbq[0], bcq[0])))
         nm = pl.vwhere(bb, bbq[1], pl.vwhere(cc, ccq[1], pl.vwhere(a_cap_b_box, cbq[1], bcq[1])))
         dp = jnp.where(bb, bbq[2], jnp.where(cc, ccq[2], jnp.where(a_cap_b_box, cbq[2], bcq[2])))
-        vd = jnp.where(bb, bbq[3], jnp.where(cc, ccq[3], jnp.where(a_cap_b_box, cbq[3], bcq[3])))
-        return pt, nm, dp, vd
+        # validity selects route through f32 (exact bool roundtrip):
+        # Mosaic legalizes select-of-i1-vectors via i8 + trunci and then
+        # rejects the trunc ("Unsupported target bitwidth for truncation")
+        f = lambda q: q[3].astype(jnp.float32)
+        vdf = jnp.where(bb, f(bbq), jnp.where(cc, f(ccq), jnp.where(a_cap_b_box, f(cbq), f(bcq))))
+        return pt, nm, dp, vdf > 0.5
 
     return [
         sel4(s, (bb_c[s], cc_list[s], cb_list[s], bc_list[s]))
@@ -808,7 +815,10 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
     from jax.experimental import pallas as plx
 
     e, w, p = ga.shape
-    eb = 128 if e % 128 == 0 else (8 if e % 8 == 0 else e)
+    # eb=8 == one native (8, 128) tile per plane. Bigger blocks don't
+    # help (the body is pure VPU math, grid steps amortize) and eb=128
+    # fails to compile — the ~4k live [eb, p] intermediates blow VMEM.
+    eb = 8 if e % 8 == 0 else e
     grid = (e // eb,)
 
     def kernel(ga_ref, gb_ref, pv_ref, *outs):
@@ -820,29 +830,27 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
         finally:
             _BARRIERS[0] = old
         (ptx, pty, ptz, nmx, nmy, nmz, dp, vd, cid, fr, re, tg) = res
-        for k in range(_K):
-            outs[0][:, k, :] = ptx[k]
-            outs[1][:, k, :] = pty[k]
-            outs[2][:, k, :] = ptz[k]
-            outs[3][:, k, :] = nmx[k]
-            outs[4][:, k, :] = nmy[k]
-            outs[5][:, k, :] = nmz[k]
-            outs[6][:, k, :] = dp[k]
-            outs[7][:, k, :] = vd[k]
-            outs[8][:, k, :] = cid[k]
-        outs[9][...] = fr
-        outs[10][...] = re
-        outs[11][...] = tg
+        # every output is a flat [eb, p] plane — Mosaic SIGABRTs when the
+        # full SAT body stores into [:, k, :] slices of a 3D block (the
+        # minimal store pattern alone is fine); K planes per field, the
+        # caller stacks them outside the kernel
+        o = 0
+        for group in (ptx, pty, ptz, nmx, nmy, nmz, dp, vd, cid):
+            for k in range(_K):
+                outs[o][...] = group[k]
+                o += 1
+        outs[o][...] = fr
+        outs[o + 1][...] = re
+        outs[o + 2][...] = tg
 
-    kp = lambda: plx.BlockSpec((eb, _K, p), lambda i: (i, 0, 0))
     pp_ = lambda: plx.BlockSpec((eb, p), lambda i: (i, 0))
     f32 = jnp.float32
     out_shape = (
-        [jax.ShapeDtypeStruct((e, _K, p), f32)] * 8
-        + [jax.ShapeDtypeStruct((e, _K, p), jnp.int32)]
+        [jax.ShapeDtypeStruct((e, p), f32)] * (8 * _K)
+        + [jax.ShapeDtypeStruct((e, p), jnp.int32)] * _K
         + [jax.ShapeDtypeStruct((e, p), f32)] * 3
     )
-    return plx.pallas_call(
+    flat = plx.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -850,10 +858,46 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
             plx.BlockSpec((eb, w, p), lambda i: (i, 0, 0)),
             pp_(),
         ],
-        out_specs=[kp()] * 9 + [pp_()] * 3,
+        out_specs=[pp_()] * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
     )(ga, gb, pvf)
+    stacked = [
+        jnp.stack(flat[g * _K:(g + 1) * _K], axis=1) for g in range(9)
+    ]
+    return tuple(stacked) + tuple(flat[9 * _K:])
+
+
+_KERNEL_OK: list = [None]  # None = unprobed; True/False cached verdict
+
+
+def _kernel_supported() -> bool:
+    """Probe once whether Mosaic accepts the fleet SAT lowering.
+
+    Compiles a tiny (8 env x 128 pair) instance eagerly the first time a
+    TPU-class backend would take the kernel path; Mosaic rejections (this
+    repo has precedent: commit 96c86f9) surface here as an exception and
+    flip every subsequent fleet step to the vmapped XLA reference instead
+    of throwing from inside the user's jit. Pallas kernels compile in
+    seconds (CLAUDE.md quirk 3), so the one-time probe is cheap.
+    """
+    if _KERNEL_OK[0] is None:
+        try:
+            z3 = jnp.zeros((8, 14, 128), jnp.float32)
+            z2 = jnp.zeros((8, 128), jnp.float32)
+            jax.jit(_sat_fleet_pallas).lower(z3, z3, z2).compile()
+            _KERNEL_OK[0] = True
+        except Exception as exc:  # Mosaic lowering rejection
+            from scx.core.log import warn
+
+            warn(
+                "planar: Pallas SAT kernel rejected by the backend "
+                f"({type(exc).__name__}); falling back to the XLA "
+                "narrowphase. %s",
+                str(exc)[:200],
+            )
+            _KERNEL_OK[0] = False
+    return _KERNEL_OK[0]
 
 
 @jax.custom_batching.custom_vmap
@@ -877,6 +921,7 @@ def _sat_vmap(axis_size, in_batched, ga, gb, pvf):
         and ga.shape[0] % 8 == 0
         and jax.default_backend() != "cpu"
         and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
+        and _kernel_supported()
     )
     if use_kernel:
         out = _sat_fleet_pallas(ga, gb, pvf)
@@ -885,7 +930,8 @@ def _sat_vmap(axis_size, in_batched, ga, gb, pvf):
     return out, tuple(True for _ in out)
 
 
-def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
+def _sat_inputs(b: PlanarBodies, ia, ib, pair_valid):
+    """Gather the per-pair SAT operand planes: ga/gb [14, P], pvf [P]."""
     n = b.n
     centers = _shape_centers(b)
     rows = jnp.stack(
@@ -903,9 +949,14 @@ def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
     oh_b = _onehot(ib, n)
     ga = _mm(rows, oh_a)  # [14, P]
     gb = _mm(rows, oh_b)
+    return ga, gb, pair_valid.astype(jnp.float32)
+
+
+def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
+    ga, gb, pvf = _sat_inputs(b, ia, ib, pair_valid)
 
     (ptx, pty, ptz, nmx, nmy, nmz, dp, vdf, cid, fr, re, tgf) = _sat(
-        ga, gb, pair_valid.astype(jnp.float32)
+        ga, gb, pvf
     )
     valid_raw = vdf > 0.5
     is_trigger = tgf > 0.5

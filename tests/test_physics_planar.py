@@ -276,3 +276,58 @@ def test_vmapped_fleet_step():
         np.testing.assert_allclose(
             np.asarray(stepped.pos.x[i]), np.asarray(single.pos.x), atol=1e-5
         )
+
+
+def _fleet_sat_inputs(n_envs, pairs=128):
+    """Stacked SAT operand planes for a mixed fleet: varied scenes so
+    every pair-type branch (box/sphere/capsule x static/dynamic) and the
+    invalid-pair tail are all exercised."""
+    gas, gbs, pvs = [], [], []
+    for e in range(n_envs):
+        b = mixed_scene(seed=100 + e, with_caps=(e % 2 == 0))
+        p = pp.planar_from_rigid(b)
+        ia, ib, val, _ = pp.planar_broadphase(p, pairs)
+        ga, gb, pvf = pp._sat_inputs(p, ia, ib, val)
+        gas.append(ga)
+        gbs.append(gb)
+        pvs.append(pvf)
+    return jnp.stack(gas), jnp.stack(gbs), jnp.stack(pvs)
+
+
+@pytest.mark.parametrize("n_envs", [8, 128])
+def test_sat_fleet_pallas_interpret_matches_ref(n_envs):
+    """The Pallas fleet SAT kernel (the on-TPU bench/RL/sandbox path,
+    never otherwise reached on the CPU test backend) matches the vmapped
+    XLA reference bit-for-bit on the discrete outputs and tightly on the
+    float planes — at both grid blockings (eb=8 and eb=128)."""
+    ga, gb, pvf = _fleet_sat_inputs(n_envs)
+    ref = jax.vmap(pp._sat_ref)(ga, gb, pvf)
+    ker = pp._sat_fleet_pallas(ga, gb, pvf, interpret=True)
+    assert len(ref) == len(ker) == 12
+    vr = np.asarray(ref[7]) > 0.5
+    vk = np.asarray(ker[7]) > 0.5
+    # Contract (measured, 128-env mixed fleet): the two paths may only
+    # disagree about GRAZE contacts — |depth| ~ 1e-7 sites where the
+    # barrier-free kernel float association lands the SAT depth on the
+    # other side of zero. A graze carries ~zero impulse; anything deeper
+    # must agree exactly in validity and candidate id.
+    dis = vr != vk
+    if dis.any():
+        graze = np.abs(np.where(vr, np.asarray(ref[6]), np.asarray(ker[6])))
+        assert graze[dis].max() < 1e-5, "non-graze validity disagreement"
+    both = vr & vk
+    assert both.sum() > (50 if n_envs == 8 else 1000)  # scene is live
+    names = "ptx pty ptz nmx nmy nmz depth".split()
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(ker[i])[both], np.asarray(ref[i])[both],
+            atol=5e-6, err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ker[8])[both], np.asarray(ref[8])[both],
+        err_msg="cand id",
+    )
+    for i, name in ((9, "friction"), (10, "restitution"), (11, "trigger")):
+        np.testing.assert_array_equal(
+            np.asarray(ker[i]), np.asarray(ref[i]), err_msg=name
+        )
