@@ -118,3 +118,41 @@ def load_checkpoint(path: str):
 
     state = rebuild("", state)
     return state, meta.get("extra", {})
+
+
+def load_legacy_contact_cache(path: str, max_pairs: int):
+    """Convert a pre-planar ContactCache aux save (key_a/key_b [P],
+    cand [P,K], lam [P,K*3] with (ln,l1,l2) minor) into the PlanarCache
+    plane layout ([K,P] planes, split lam components). Keeps the
+    documented bit-identical-resume property for saves written before
+    the round-4 planar adoption. Returns None when `path` isn't a
+    legacy-layout save of matching capacity."""
+    from scx.physics.planar import PlanarCache
+
+    try:
+        data = np.load(path + ".npz")
+    except OSError:
+        return None
+    keys = {"key_a", "key_b", "cand", "lam"}
+    if set(data.files) != keys:
+        return None
+    ka, kb = data["key_a"], data["key_b"]
+    cand, lam = data["cand"], data["lam"]
+    if (
+        ka.shape != (max_pairs,)
+        or cand.ndim != 2
+        or cand.shape[0] != max_pairs
+        or lam.shape != (max_pairs, cand.shape[1] * 3)
+    ):
+        return None
+    k = cand.shape[1]
+    lam3 = lam.reshape(max_pairs, k, 3)
+    jnp = jax.numpy
+    return PlanarCache(
+        key_a=jnp.asarray(ka),
+        key_b=jnp.asarray(kb),
+        cand=jnp.asarray(cand.T),
+        lam_n=jnp.asarray(lam3[..., 0].T),
+        lam_1=jnp.asarray(lam3[..., 1].T),
+        lam_2=jnp.asarray(lam3[..., 2].T),
+    )

@@ -759,6 +759,12 @@ class Sandbox:
             self._pending_lod_despawn = mask
         fresh = empty_sync_cache(self.sim.solver.max_pairs)
         cached = checkpoint.load_aux_pytree(path + ".cache", fresh)
+        if cached is None:
+            # pre-planar save (round-3 ContactCache layout): convert so
+            # old save-games still resume warm instead of cold-starting
+            cached = checkpoint.load_legacy_contact_cache(
+                path + ".cache", self.sim.solver.max_pairs
+            )
         self._cache = jax.device_put(cached) if cached is not None else fresh
         self._bake_dirty = True  # restored static set needs a fresh bake
         return True

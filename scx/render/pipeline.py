@@ -622,6 +622,14 @@ class MipTextures:
     # though its textures ship a single level (sc_assets.cpp:606); nearest
     # is the bench default, trilinear the fidelity option.
     trilinear: bool = struct.field(pytree_node=False, default=False)
+    # anisotropy: max taps along the major axis of the pixel's UV
+    # footprint (the reference's maxAnisotropy sampler knob,
+    # sc_assets.cpp:210-211). 1 = isotropic (default); >1 distributes up
+    # to that many taps along the footprint's long axis with the mip
+    # level chosen from the SHORT axis — grazing surfaces keep detail the
+    # isotropic level would blur away. Costs up to `anisotropy` gathers
+    # per pixel; opt-in fidelity knob like trilinear.
+    anisotropy: int = struct.field(pytree_node=False, default=1)
 
 
 def _uv_mip_level(uv, covered, base_size: int, n_levels: int):
@@ -649,6 +657,38 @@ def _uv_mip_level(uv, covered, base_size: int, n_levels: int):
     return jnp.clip(level, 0.0, float(n_levels - 1))
 
 
+def _uv_footprint_aniso(uv, covered, base_size: int, n_levels: int,
+                        max_aniso: int):
+    """Anisotropic footprint: (level, major_step_uv, n_taps).
+
+    level is chosen from the footprint's SHORT axis with the tap count
+    absorbing the long axis (level = log2(rho_max / N), the standard
+    EWA-style approximation); major_step_uv is the long-axis derivative
+    in [0,1] uv units for spacing the taps."""
+    up = uv * base_size
+
+    def min_abs_diff(a, axis):
+        fwd = jnp.diff(a, axis=axis, append=jnp.take(a, jnp.array([-1]), axis=axis))
+        bwd = jnp.diff(a, axis=axis, prepend=jnp.take(a, jnp.array([0]), axis=axis))
+        pick_f = (jnp.abs(fwd) < jnp.abs(bwd)) & (fwd != 0.0) | (bwd == 0.0)
+        return jnp.where(pick_f, fwd, bwd)
+
+    dx = min_abs_diff(up, 1)
+    dy = min_abs_diff(up, 0)
+    px2 = jnp.sum(dx * dx, -1)
+    py2 = jnp.sum(dy * dy, -1)
+    rho_max = jnp.sqrt(jnp.maximum(jnp.maximum(px2, py2), 1.0))
+    rho_min = jnp.sqrt(jnp.maximum(jnp.minimum(px2, py2), 1.0))
+    n_taps = jnp.clip(
+        jnp.ceil(rho_max / rho_min), 1.0, float(max_aniso)
+    )
+    level = jnp.log2(rho_max / n_taps)
+    level = jnp.where(covered, level, 0.0)
+    level = jnp.clip(level, 0.0, float(n_levels - 1))
+    dmaj = jnp.where((px2 >= py2)[..., None], dx, dy) / base_size  # uv units
+    return level, dmaj, n_taps
+
+
 def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07, 0.1)):
     """Deferred shading: texture sample x interpolated vertex color.
 
@@ -672,13 +712,15 @@ def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07
             offsets, sizes = mip_layout(textures.size)
             off_t = jnp.asarray(offsets[:-1], jnp.int32)
             sz_t = jnp.asarray(sizes, jnp.int32)
-            flevel = _uv_mip_level(uv, covered, textures.size, len(sizes))
-            # REPEAT addressing (the reference's samplers default to repeat,
-            # sc_assets.cpp sampler create); derivatives above use the
-            # unwrapped uv so tiling doesn't poison the level
-            uvw = uv - jnp.floor(uv)
+            aniso = max(1, int(getattr(textures, "anisotropy", 1)))
+            if aniso > 1:
+                flevel, dmaj, n_taps = _uv_footprint_aniso(
+                    uv, covered, textures.size, len(sizes), aniso
+                )
+            else:
+                flevel = _uv_mip_level(uv, covered, textures.size, len(sizes))
 
-            def sample_level(level):  # [H,W] i32 -> bilinear [H,W,3]
+            def sample_level(level, uvw):  # [H,W] i32 -> bilinear [H,W,3]
                 sz = sz_t[level]                 # [H,W] i32
                 szf = sz.astype(jnp.float32)
                 base = off_t[level]
@@ -696,14 +738,34 @@ def shade(gbuffer, materials: Materials | None, textures, background=(0.05, 0.07
                     + quad[..., 9:12] * fu * fv
                 )
 
-            if textures.trilinear:
-                l0 = jnp.floor(flevel).astype(jnp.int32)
-                l1 = jnp.minimum(l0 + 1, len(sizes) - 1)
-                frac = (flevel - l0.astype(jnp.float32))[..., None]
-                bilinear = sample_level(l0) * (1 - frac) + sample_level(l1) * frac
-            else:
+            def sample_at(uv_at):
+                # REPEAT addressing (the reference's samplers default to
+                # repeat, sc_assets.cpp sampler create); derivatives use
+                # the unwrapped uv so tiling doesn't poison the level
+                uvw = uv_at - jnp.floor(uv_at)
+                if textures.trilinear:
+                    l0 = jnp.floor(flevel).astype(jnp.int32)
+                    l1 = jnp.minimum(l0 + 1, len(sizes) - 1)
+                    frac = (flevel - l0.astype(jnp.float32))[..., None]
+                    return (
+                        sample_level(l0, uvw) * (1 - frac)
+                        + sample_level(l1, uvw) * frac
+                    )
                 # truncation matches the pre-trilinear behavior exactly
-                bilinear = sample_level(flevel.astype(jnp.int32))
+                return sample_level(flevel.astype(jnp.int32), uvw)
+
+            if aniso > 1:
+                # up to `aniso` taps spaced along the footprint's long
+                # axis; tap i is live where i < n_taps (per-pixel count)
+                acc = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+                for i in range(aniso):
+                    t = ((i + 0.5) / n_taps - 0.5)[..., None]
+                    live = (i < n_taps)[..., None]
+                    tap = sample_at(uv + dmaj * t)
+                    acc = acc + jnp.where(live, tap, 0.0)
+                bilinear = acc / n_taps[..., None]
+            else:
+                bilinear = sample_at(uv)
             textured = jnp.where((tex_id >= 0)[..., None], bilinear, 1.0)
             color = color * textured * tint
             bg = jnp.asarray(background)

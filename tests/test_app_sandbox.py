@@ -235,3 +235,42 @@ def test_load_game_rejects_bad_saves(tmp_path):
     checkpoint.save_checkpoint(str(tmp_path / "plain"), sb.state, {})
     assert not sb.load_game(str(tmp_path / "plain"))
     sb.shutdown()
+
+
+def test_legacy_contact_cache_converts():
+    """A pre-planar aux save (round-3 ContactCache layout: cand [P,K],
+    lam [P,K*3] with (ln,l1,l2) minor) loads as an equivalent PlanarCache
+    so old save-games resume warm (ADVICE r4)."""
+    import numpy as np
+
+    from scx.app import checkpoint
+    from scx.physics.contacts import MAX_CONTACTS_PER_PAIR as K
+
+    P = 8
+    rng = np.random.default_rng(3)
+    ka = rng.integers(-1, 6, P).astype(np.int32)
+    kb = rng.integers(-1, 6, P).astype(np.int32)
+    cand = rng.integers(-1, 10, (P, K)).astype(np.int32)
+    lam = rng.normal(size=(P, K * 3)).astype(np.float32)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "legacy.cache")
+        np.savez_compressed(
+            path + ".npz", key_a=ka, key_b=kb, cand=cand, lam=lam
+        )
+        got = checkpoint.load_legacy_contact_cache(path, P)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got.key_a), ka)
+        np.testing.assert_array_equal(np.asarray(got.cand), cand.T)
+        lam3 = lam.reshape(P, K, 3)
+        np.testing.assert_array_equal(np.asarray(got.lam_n), lam3[..., 0].T)
+        np.testing.assert_array_equal(np.asarray(got.lam_1), lam3[..., 1].T)
+        np.testing.assert_array_equal(np.asarray(got.lam_2), lam3[..., 2].T)
+        # wrong capacity -> refused
+        assert checkpoint.load_legacy_contact_cache(path, P * 2) is None
+        # current-layout saves -> refused (handled by load_aux_pytree)
+        from scx.physics.planar import empty_planar_cache
+
+        path2 = os.path.join(d, "new.cache")
+        checkpoint.save_aux_pytree(path2, empty_planar_cache(P))
+        assert checkpoint.load_legacy_contact_cache(path2, P) is None

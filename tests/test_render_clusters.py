@@ -147,7 +147,15 @@ def test_cluster_packed_layout_matches():
     The packed formulation quarters raster DMA traffic and VMEM scratch;
     slot-major triangle order inside a cluster is an internal permutation
     (pass A codes and pass B one-hot use the same accessors), so the
-    G-buffer must be identical up to depth ties."""
+    G-buffer must be identical up to depth ties.
+
+    TIE CAVEAT (the explicit equivalence contract): when two triangles of
+    the same cluster land EXACTLY equal depth on a pixel, the in-cluster
+    argmin resolves by slot order, which the packed permutation changes —
+    either tied triangle's attributes are accepted behavior. This scene
+    has no exact ties, so the assert below is exact; a scene with
+    constructed ties may legitimately differ in attribute (never depth)
+    on tied pixels."""
     pool = rd.build_mesh_pool()
     params = rd.RasterParams(
         width=256, height=64, tile_h=16, tile_w=128,

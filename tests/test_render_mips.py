@@ -133,3 +133,38 @@ def test_trilinear_blends_adjacent_levels():
     out_n1 = np.asarray(pipe.shade(g1, _mats(), near))
     out_t1 = np.asarray(pipe.shade(g1, _mats(), tri))
     np.testing.assert_allclose(out_t1[1:-1, 1:-1], out_n1[1:-1, 1:-1], atol=1e-6)
+
+
+def test_anisotropic_sampling():
+    """MipTextures(anisotropy=A): isotropic footprints are EXACTLY the
+    1-tap path (n_taps==1 everywhere); anisotropic footprints pick the
+    level from the SHORT axis, keeping detail the isotropic level blurs
+    (sampler maxAnisotropy parity, sc_assets.cpp:210-211)."""
+    base = tex.checker_texture(64, cells=8)
+    quads = jnp.asarray(tex.build_mip_quads(base))[None]
+    iso = pipe.MipTextures(quads=quads, size=64)
+    ani = pipe.MipTextures(quads=quads, size=64, anisotropy=8)
+    h, w = 8, 8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    # isotropic footprint (2 texels/pixel both axes): identical outputs
+    s = 2.0 / 64.0
+    g = _gbuffer(np.stack([xx * s, yy * s], -1), h, w)
+    out_i = np.asarray(pipe.shade(g, _mats(), iso))
+    out_a = np.asarray(pipe.shade(g, _mats(), ani))
+    np.testing.assert_allclose(out_a[1:-1, 1:-1], out_i[1:-1, 1:-1],
+                               atol=1e-6)
+
+    # 8:1 anisotropic footprint: 16 texels/pixel in u, 2 in v. The
+    # isotropic path must go to level log2(16)=4 (uniform ~mean shade);
+    # the aniso path samples level ~1 eight times along u, recovering the
+    # 8-texel checker stripes along v (cells alternate every 4 v-pixels
+    # at 2 texels/pixel).
+    su, sv = 16.0 / 64.0, 2.0 / 64.0
+    g2 = _gbuffer(np.stack([xx * su, yy * sv], -1), h, w)
+    out_i2 = np.asarray(pipe.shade(g2, _mats(), iso))
+    out_a2 = np.asarray(pipe.shade(g2, _mats(), ani))
+    iso_spread = out_i2[1:-1, 1:-1].max() - out_i2[1:-1, 1:-1].min()
+    ani_spread = out_a2[1:-1, 1:-1].max() - out_a2[1:-1, 1:-1].min()
+    assert iso_spread < 0.12, iso_spread          # level-4 blur ~ flat
+    assert ani_spread > 3 * iso_spread, (ani_spread, iso_spread)
