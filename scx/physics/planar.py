@@ -1084,6 +1084,242 @@ def _tangents(n: V3):
     return t1, t2
 
 
+# --- pack layout for the iteration core -----------------------------------
+# jac pack rows are quantity-major, k-minor: quantity q's K=4 contact-slot
+# planes live at rows [4q, 4q+4). V3 quantities occupy 3 consecutive
+# quantity slots (x, y, z). The trailing _PAIR_ROWS are [P] per-pair rows
+# replicated once (not per-k).
+_SOLVE_V3 = ("n", "t1", "t2", "a_an", "a_bn", "a_a1", "a_b1", "a_a2",
+             "a_b2", "r_a", "r_b")
+_SOLVE_SCALAR = ("kn", "k1", "k2", "target", "cvalid", "ln0", "l10", "l20")
+_SOLVE_NQ = len(_SOLVE_V3) * 3 + len(_SOLVE_SCALAR)          # 41
+_SOLVE_PAIR = ("im_a", "im_b", "relax", "fr")
+_SOLVE_R = _SOLVE_NQ * _K + len(_SOLVE_PAIR)                 # 168
+
+
+def _solve_q(name: str) -> int:
+    """Quantity index of a scalar quantity / first component of a V3."""
+    i = 0
+    for v in _SOLVE_V3:
+        if v == name:
+            return i
+        i += 3
+    return i + _SOLVE_SCALAR.index(name)
+
+
+def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
+    """The relaxed-Jacobi iteration loop from packed operands.
+
+    jac [R, P] (layout above), oh_a/oh_b [N, P] f32 one-hots,
+    oh_at/oh_bt their transposes, vw0 [6, N]. Returns (vw [6, N],
+    lam [12, P]: ln/l1/l2 k-minor). Pure 2D math — the same code runs as
+    the per-scene XLA path and inside the Pallas fleet kernel (one env at
+    a time), so fleet and single-scene solves stay formula-identical."""
+    K = _K
+
+    def q(name):          # [K, P] slot planes of a scalar quantity
+        base = _solve_q(name) * K
+        return jac[base:base + K, :]
+
+    def qv(name):         # V3 of [K, P]
+        base = _solve_q(name) * K
+        return V3(jac[base:base + K, :],
+                  jac[base + K:base + 2 * K, :],
+                  jac[base + 2 * K:base + 3 * K, :])
+
+    def pair(name):       # [1, P]
+        return jac[_SOLVE_NQ * K + _SOLVE_PAIR.index(name):
+                   _SOLVE_NQ * K + _SOLVE_PAIR.index(name) + 1, :]
+
+    n, t1, t2 = qv("n"), qv("t1"), qv("t2")
+    a_an, a_bn = qv("a_an"), qv("a_bn")
+    a_a1, a_b1 = qv("a_a1"), qv("a_b1")
+    a_a2, a_b2 = qv("a_a2"), qv("a_b2")
+    r_a, r_b = qv("r_a"), qv("r_b")
+    kn, k1, k2 = q("kn"), q("k1"), q("k2")
+    target, cvalid = q("target"), q("cvalid")
+    ln, l1, l2 = q("ln0"), q("l10"), q("l20")
+    im_a, im_b = pair("im_a"), pair("im_b")
+    relax, fr = pair("relax"), pair("fr")
+    cv = cvalid > 0.5
+
+    def one_pass(vw, ln, l1, l2):
+        ga = _mm(vw, oh_a)                     # [6, P]
+        gb = _mm(vw, oh_b)
+        va = V3(ga[0:1], ga[1:2], ga[2:3])     # [1, P] broadcast over K
+        wa = V3(ga[3:4], ga[4:5], ga[5:6])
+        vb = V3(gb[0:1], gb[1:2], gb[2:3])
+        wb = V3(gb[3:4], gb[4:5], gb[5:6])
+        v = (va + pl.vcross(wa, r_a)) - (vb + pl.vcross(wb, r_b))
+
+        vn = pl.vdot(v, n)
+        d_ln = (target - vn) / kn * relax
+        ln_new = jnp.maximum(ln + d_ln, 0.0)
+        d_ln = jnp.where(cv, ln_new - ln, 0.0)
+        ln_new = ln + d_ln
+
+        max_f = fr * ln_new
+        vt1 = pl.vdot(v, t1)
+        vt2 = pl.vdot(v, t2)
+        d_l1 = -vt1 / k1 * relax
+        d_l2 = -vt2 / k2 * relax
+        l1_new = jnp.clip(l1 + d_l1, -max_f, max_f)
+        l2_new = jnp.clip(l2 + d_l2, -max_f, max_f)
+        d_l1 = jnp.where(cv, l1_new - l1, 0.0)
+        d_l2 = jnp.where(cv, l2_new - l2, 0.0)
+        l1_new = l1 + d_l1
+        l2_new = l2 + d_l2
+
+        imp = n * d_ln + t1 * d_l1 + t2 * d_l2
+        dw_a = a_an * d_ln + a_a1 * d_l1 + a_a2 * d_l2
+        dw_b = a_bn * d_ln + a_b1 * d_l1 + a_b2 * d_l2
+        lin_a, lin_b = imp * im_a, imp * im_b
+
+        def ksum(x):                            # [K, P] -> [1, P]
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        upd_a = jnp.concatenate(
+            [ksum(lin_a.x), ksum(lin_a.y), ksum(lin_a.z),
+             ksum(dw_a.x), ksum(dw_a.y), ksum(dw_a.z)], axis=0
+        )  # [6, P]
+        upd_b = jnp.concatenate(
+            [ksum(lin_b.x), ksum(lin_b.y), ksum(lin_b.z),
+             ksum(dw_b.x), ksum(dw_b.y), ksum(dw_b.z)], axis=0
+        )
+        vw = vw + _mm(upd_a, oh_at) - _mm(upd_b, oh_bt)
+        return vw, ln_new, l1_new, l2_new
+
+    vw = vw0
+    for _ in range(iterations):
+        vw, ln, l1, l2 = one_pass(vw, ln, l1, l2)
+    return vw, jnp.concatenate([ln, l1, l2], axis=0)
+
+
+def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
+                        iterations: int, interpret=False):
+    """The iteration loop as ONE Pallas kernel, grid over 8-env blocks.
+
+    All 6 iterations run VMEM-resident: the XLA scan materializes ~30
+    [E, K, P] planes to HBM between fusions EVERY iteration (measured
+    7.3 ms of the 31 ms step at 1024x64, P=256), the kernel touches HBM
+    once in and once out. jac [E, R, P], one-hots [E, N, P]/[E, P, N],
+    vw0 [E, 6, N]."""
+    from jax.experimental import pallas as plx
+
+    e, r, p = jac.shape
+    nb = oh_a.shape[1]
+    eb = 8 if e % 8 == 0 else e
+    grid = (e // eb,)
+
+    def kernel(jac_ref, oa_ref, ob_ref, oat_ref, obt_ref, vw_ref, *outs):
+        for le in range(eb):
+            vw, lam = _solve_iter_core(
+                jac_ref[le], oa_ref[le], ob_ref[le],
+                oat_ref[le], obt_ref[le], vw_ref[le], iterations,
+            )
+            for c in range(6):
+                outs[c][le:le + 1, :] = vw[c:c + 1, :]
+            for c in range(12):
+                outs[6 + c][le:le + 1, :] = lam[c:c + 1, :]
+
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((e, nb), f32)] * 6
+        + [jax.ShapeDtypeStruct((e, p), f32)] * 12
+    )
+    out_specs = (
+        [plx.BlockSpec((eb, nb), lambda i: (i, 0))] * 6
+        + [plx.BlockSpec((eb, p), lambda i: (i, 0))] * 12
+    )
+    flat = plx.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            plx.BlockSpec((eb, r, p), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, nb, p), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, nb, p), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, p, nb), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, p, nb), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, 6, nb), lambda i: (i, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jac, oh_a, oh_b, oh_at, oh_bt, vw0)
+    vw = jnp.stack(flat[:6], axis=1)           # [E, 6, N]
+    lam = jnp.stack(flat[6:], axis=1)          # [E, 12, P]
+    return vw, lam
+
+
+_SOLVE_KERNEL_OK: dict = {}
+
+
+def _solve_kernel_supported(iterations: int) -> bool:
+    """Per-iteration-count Mosaic probe, mirroring _kernel_supported."""
+    if iterations not in _SOLVE_KERNEL_OK:
+        try:
+            jac = jnp.zeros((8, _SOLVE_R, 128), jnp.float32)
+            oh = jnp.zeros((8, 64, 128), jnp.float32)
+            oht = jnp.zeros((8, 128, 64), jnp.float32)
+            vw = jnp.zeros((8, 6, 64), jnp.float32)
+            jax.jit(
+                lambda *a: _solve_fleet_pallas(*a, iterations=iterations)
+            ).lower(jac, oh, oh, oht, oht, vw).compile()
+            _SOLVE_KERNEL_OK[iterations] = True
+        except Exception as exc:
+            from scx.core.log import warn
+
+            warn(
+                "planar: Pallas solve kernel rejected (%s); using the XLA "
+                "iteration path. %s", type(exc).__name__, str(exc)[:200],
+            )
+            _SOLVE_KERNEL_OK[iterations] = False
+    return _SOLVE_KERNEL_OK[iterations]
+
+
+_SOLVE_DISPATCH: dict = {}
+
+
+def _solve_iterate(iterations: int):
+    """custom_vmap dispatcher: per-scene XLA core, Pallas kernel for
+    vmapped fleets on TPU-class backends (same pattern as _sat)."""
+    if iterations in _SOLVE_DISPATCH:
+        return _SOLVE_DISPATCH[iterations]
+
+    @jax.custom_batching.custom_vmap
+    def solve_it(jac, oh_a, oh_b, oh_at, oh_bt, vw0):
+        return _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
+                                iterations)
+
+    @solve_it.def_vmap
+    def _vmap_rule(axis_size, in_batched, jac, oh_a, oh_b, oh_at, oh_bt,
+                   vw0):
+        args = (jac, oh_a, oh_b, oh_at, oh_bt, vw0)
+        if not all(in_batched):
+            args = tuple(
+                x if bt else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, bt in zip(args, in_batched)
+            )
+        use_kernel = (
+            args[0].ndim == 3
+            and args[0].shape[-1] % 128 == 0
+            and args[0].shape[0] % 8 == 0
+            and jax.default_backend() != "cpu"
+            and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
+            and _solve_kernel_supported(iterations)
+        )
+        if use_kernel:
+            out = _solve_fleet_pallas(*args, iterations=iterations)
+        else:
+            out = jax.vmap(
+                lambda *a: _solve_iter_core(*a, iterations=iterations)
+            )(*args)
+        return out, (True, True)
+
+    _SOLVE_DISPATCH[iterations] = solve_it
+    return solve_it
+
+
 def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
                  ia, ib, lam0=None):
     """Returns (vel V3 [N], omega V3 [N], (ln,l1,l2) [K,P], cnt [N])."""
@@ -1192,32 +1428,6 @@ def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
 
     fr = con.friction[None, :]
 
-    def masked_pass(vw, ln, l1, l2):
-        v = rel_vel(vw)
-        vn = pl.vdot(v, n)
-        d_ln = (target - vn) / kn * relax
-        ln_new = jnp.maximum(ln + d_ln, 0.0)
-        d_ln = jnp.where(c_valid, ln_new - ln, 0.0)
-        ln_new = ln + d_ln
-
-        max_f = fr * ln_new
-        vt1 = pl.vdot(v, t1)
-        vt2 = pl.vdot(v, t2)
-        d_l1 = -vt1 / k1 * relax
-        d_l2 = -vt2 / k2 * relax
-        l1_new = jnp.clip(l1 + d_l1, -max_f, max_f)
-        l2_new = jnp.clip(l2 + d_l2, -max_f, max_f)
-        d_l1 = jnp.where(c_valid, l1_new - l1, 0.0)
-        d_l2 = jnp.where(c_valid, l2_new - l2, 0.0)
-        l1_new = l1 + d_l1
-        l2_new = l2 + d_l2
-
-        imp = n * d_ln + t1 * d_l1 + t2 * d_l2
-        dw_a = a_an * d_ln + a_a1 * d_l1 + a_a2 * d_l2
-        dw_b = a_bn * d_ln + a_b1 * d_l1 + a_b2 * d_l2
-        vw = apply_upd(vw, imp * im_a, dw_a, imp * im_b, dw_b)
-        return vw, ln_new, l1_new, l2_new
-
     if lam0 is None:
         z = jnp.zeros_like(kn)
         ln0, l10, l20 = z, z, z
@@ -1232,14 +1442,34 @@ def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
         dw_b = a_bn * ln0 + a_b1 * l10 + a_b2 * l20
         vw0 = apply_upd(vw0, imp * im_a, dw_a, imp * im_b, dw_b)
 
-    def iteration(carry, _):
-        vw, ln, l1, l2 = carry
-        vw, ln, l1, l2 = masked_pass(vw, ln, l1, l2)
-        return (vw, ln, l1, l2), None
-
-    (vw, ln, l1, l2), _ = jax.lax.scan(
-        iteration, (vw0, ln0, l10, l20), None, length=params.iterations
+    # ---- pack the iteration-invariant operands; run the loop through
+    # the dispatcher (XLA per scene, one Pallas kernel per fleet) -------
+    kp = jnp.broadcast_to
+    shape = kn.shape  # [K, P]
+    quantities = {
+        "n": n, "t1": t1, "t2": t2, "a_an": a_an, "a_bn": a_bn,
+        "a_a1": a_a1, "a_b1": a_b1, "a_a2": a_a2, "a_b2": a_b2,
+        "r_a": r_a, "r_b": r_b,
+        "kn": kn, "k1": k1, "k2": k2, "target": target,
+        "cvalid": c_valid.astype(jnp.float32),
+        "ln0": ln0, "l10": l10, "l20": l20,
+    }
+    rows = []
+    for name in _SOLVE_V3:
+        v = quantities[name]
+        rows += [kp(v.x, shape), kp(v.y, shape), kp(v.z, shape)]
+    for name in _SOLVE_SCALAR:
+        rows.append(kp(quantities[name], shape))
+    prows = {"im_a": im_a, "im_b": im_b, "relax": relax[0], "fr": fr[0]}
+    jac = jnp.concatenate(
+        [jnp.concatenate(rows, axis=0)]
+        + [prows[nm][None, :] for nm in _SOLVE_PAIR],
+        axis=0,
+    )  # [R, P]
+    vw, lam = _solve_iterate(params.iterations)(
+        jac, oh_a, oh_b, oh_a.T, oh_b.T, vw0
     )
+    ln, l1, l2 = lam[:_K], lam[_K:2 * _K], lam[2 * _K:]
     vel = V3(vw[0], vw[1], vw[2])
     omega = V3(vw[3], vw[4], vw[5])
     return vel, omega, (ln, l1, l2), cnt

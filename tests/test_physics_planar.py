@@ -331,3 +331,56 @@ def test_sat_fleet_pallas_interpret_matches_ref(n_envs):
         np.testing.assert_array_equal(
             np.asarray(ker[i]), np.asarray(ref[i]), err_msg=name
         )
+
+
+@pytest.mark.parametrize("n_envs", [8, 16])
+def test_solve_fleet_pallas_interpret_matches_ref(n_envs):
+    """The Pallas solve-iteration kernel (the on-TPU fleet path) matches
+    the XLA iteration core on a settled mixed fleet: velocities and
+    accumulated impulses to f32-reassociation tolerance."""
+    params = SolverParams(max_pairs=128, iterations=6)
+    jacs, ohas, ohbs, vws = [], [], [], []
+    for e in range(n_envs):
+        b = mixed_scene(seed=50 + e, with_caps=(e % 2 == 0))
+        p = pp.planar_from_rigid(b)
+        p = pp.planar_integrate_velocities(p, params.dt, params.gravity)
+        ia, ib, val, _ = pp.planar_broadphase(p, params.max_pairs)
+        con = pp.planar_contacts(p, ia, ib, val)
+        # capture the packed operands planar_solve builds by running the
+        # dispatcher path and intercepting its inputs
+        captured = {}
+        orig = pp._solve_iterate
+
+        def spy(iters):
+            fn = orig(iters)
+            def wrapper(jac, oa, ob, oat, obt, vw0):
+                captured.update(jac=jac, oa=oa, ob=ob, vw0=vw0)
+                return fn(jac, oa, ob, oat, obt, vw0)
+            return wrapper
+        pp._solve_iterate = spy
+        try:
+            pp.planar_solve(p, con, params, ia, ib)
+        finally:
+            pp._solve_iterate = orig
+        jacs.append(captured["jac"])
+        ohas.append(captured["oa"])
+        ohbs.append(captured["ob"])
+        vws.append(captured["vw0"])
+    jac = jnp.stack(jacs)
+    oa, ob = jnp.stack(ohas), jnp.stack(ohbs)
+    oat = jnp.swapaxes(oa, 1, 2)
+    obt = jnp.swapaxes(ob, 1, 2)
+    vw0 = jnp.stack(vws)
+    ref_vw, ref_lam = jax.vmap(
+        lambda *a: pp._solve_iter_core(*a, iterations=params.iterations)
+    )(jac, oa, ob, oat, obt, vw0)
+    ker_vw, ker_lam = pp._solve_fleet_pallas(
+        jac, oa, ob, oat, obt, vw0,
+        iterations=params.iterations, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker_vw), np.asarray(ref_vw), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker_lam), np.asarray(ref_lam), atol=2e-5
+    )
