@@ -214,7 +214,11 @@ def _run_primary():
     # right-sized to the scene: 64-body piles peak at 95 overlapping pairs
     # over 300 settling steps (measured 2026-08-20), and the smoke phase
     # below asserts pair_overflow == 0 on-device every run.
-    params = ph.SolverParams(max_pairs=128, iterations=6)
+    # shape_kinds=("box",): the pile scenes are box-only (1 slab + 63
+    # boxes) — the narrowphase drops its capsule/sphere generators
+    params = ph.SolverParams(
+        max_pairs=128, iterations=6, shape_kinds=("box",)
+    )
 
     def make_rollout(length):
         def rollout(batch, caches, ovf_in):

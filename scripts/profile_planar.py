@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--skip-conv", action="store_true")
     ap.add_argument("--stages", action="store_true",
                     help="profile planar stage prefixes too")
+    ap.add_argument("--box-kinds", action="store_true",
+                    help="SolverParams(shape_kinds=('box',)) specialization")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quiet-wait", type=float, default=60.0)
     args = ap.parse_args()
@@ -46,7 +48,10 @@ def main():
     from scx.physics.warmstart import empty_contact_cache
 
     E, NB, N = args.envs, args.bodies, args.iters
-    params = ph.SolverParams(max_pairs=args.pairs, iterations=6)
+    params = ph.SolverParams(
+        max_pairs=args.pairs, iterations=6,
+        shape_kinds=("box",) if args.box_kinds else ("box", "sphere", "capsule"),
+    )
 
     t0 = time.time()
     batch = bench.build_batch(E, NB)
@@ -97,7 +102,7 @@ def main():
             ia, ib_, val, n_cand = pp.planar_broadphase(s, params.max_pairs)
             acc = (n_cand + jnp.sum(val)).astype(jnp.float32)
             if depth >= 2:
-                con = pp.planar_contacts(s, ia, ib_, val)
+                con = pp.planar_contacts(s, ia, ib_, val, params.shape_kinds)
                 acc = acc + jnp.sum(con.depth) + jnp.sum(con.valid)
             if depth >= 3:
                 lam0 = pp.planar_gather_warm(cc, ia, ib_, val, con.cand)

@@ -629,11 +629,22 @@ def _capsule_box(pos_a, quat_a, size_a, pos_b, quat_b, h_b):
     return _bar(out)
 
 
+_ALL_KINDS = ("box", "sphere", "capsule")
+
+
 def _pair_candidates(
-    pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b
+    pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b,
+    kinds=_ALL_KINDS,
 ):
     """contacts._pair_candidates in plane form: list of _N_CAND
-    (point, normal B->A, depth, valid) plane records."""
+    (point, normal B->A, depth, valid) plane records.
+
+    kinds: static hint of which shape types exist ANYWHERE in the scene
+    (SolverParams.shape_kinds). ("box",) drops the capsule/sphere
+    candidate generators and the 4-way select — the box-only headline
+    fleet's SAT kernel body roughly halves."""
+    if tuple(kinds) == ("box",):
+        return _box_box(pos_a, quat_a, size_a, pos_b, quat_b, size_b)
     cap_a = V3(size_a.x, jnp.where(shape_a == SHAPE_SPHERE, 0.0, size_a.y), size_a.z)
     cap_b = V3(size_b.x, jnp.where(shape_b == SHAPE_SPHERE, 0.0, size_b.y), size_b.z)
     is_box_a = shape_a == SHAPE_BOX
@@ -698,7 +709,7 @@ class PlanarContacts:
     pair_valid: jax.Array       # [P] bool (broadphase validity)
 
 
-def _sat_core(ga, gb, pvf, use_stack: bool):
+def _sat_core(ga, gb, pvf, use_stack: bool, kinds=_ALL_KINDS):
     """SAT narrowphase + top-K selection from gathered pair rows.
 
     ga/gb [14, P] f32 (or [Eb, 14, P]-sliced planes inside the Pallas
@@ -726,7 +737,8 @@ def _sat_core(ga, gb, pvf, use_stack: bool):
     pos_b, quat_b, shape_b, size_b, fr_b, re_b, tg_b = unpack(gb)
 
     cands = _pair_candidates(
-        pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b
+        pos_a, quat_a, shape_a, size_a, pos_b, quat_b, shape_b, size_b,
+        kinds,
     )
     neg_inf = jnp.float32(-jnp.inf)
     sel_pt, sel_nm, sel_dp, sel_vd, sel_id = [], [], [], [], []
@@ -796,14 +808,14 @@ def _sat_core(ga, gb, pvf, use_stack: bool):
     )
 
 
-def _sat_ref(ga, gb, pvf):
+def _sat_ref(ga, gb, pvf, kinds=_ALL_KINDS):
     """Per-scene SAT: stacks the per-contact lists to [K, P] arrays."""
-    out = _sat_core(ga, gb, pvf, use_stack=True)
+    out = _sat_core(ga, gb, pvf, use_stack=True, kinds=kinds)
     stK = lambda xs: jnp.stack(xs, axis=0)
     return tuple(stK(o) if isinstance(o, list) else o for o in out)
 
 
-def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
+def _sat_fleet_pallas(ga, gb, pvf, interpret=False, kinds=_ALL_KINDS):
     """Fleet SAT as ONE Pallas kernel, grid over env blocks.
 
     The XLA path emits the narrowphase as ~200 small fusions whose launch
@@ -826,7 +838,7 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
         _BARRIERS[0] = False
         try:
             res = _sat_core(ga_ref[...], gb_ref[...], pv_ref[...],
-                            use_stack=False)
+                            use_stack=False, kinds=kinds)
         finally:
             _BARRIERS[0] = old
         (ptx, pty, ptz, nmx, nmy, nmz, dp, vd, cid, fr, re, tg) = res
@@ -868,10 +880,10 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False):
     return tuple(stacked) + tuple(flat[9 * _K:])
 
 
-_KERNEL_OK: list = [None]  # None = unprobed; True/False cached verdict
+_KERNEL_OK: dict = {}  # kinds -> True/False cached Mosaic verdict
 
 
-def _kernel_supported() -> bool:
+def _kernel_supported(kinds=_ALL_KINDS) -> bool:
     """Probe once whether Mosaic accepts the fleet SAT lowering.
 
     Compiles a tiny (8 env x 128 pair) instance eagerly the first time a
@@ -881,12 +893,15 @@ def _kernel_supported() -> bool:
     of throwing from inside the user's jit. Pallas kernels compile in
     seconds (CLAUDE.md quirk 3), so the one-time probe is cheap.
     """
-    if _KERNEL_OK[0] is None:
+    key = tuple(kinds)
+    if key not in _KERNEL_OK:
         try:
             z3 = jnp.zeros((8, 14, 128), jnp.float32)
             z2 = jnp.zeros((8, 128), jnp.float32)
-            jax.jit(_sat_fleet_pallas).lower(z3, z3, z2).compile()
-            _KERNEL_OK[0] = True
+            jax.jit(
+                lambda *a: _sat_fleet_pallas(*a, kinds=key)
+            ).lower(z3, z3, z2).compile()
+            _KERNEL_OK[key] = True
         except Exception as exc:  # Mosaic lowering rejection
             from scx.core.log import warn
 
@@ -896,38 +911,49 @@ def _kernel_supported() -> bool:
                 "narrowphase. %s",
                 str(exc)[:200],
             )
-            _KERNEL_OK[0] = False
-    return _KERNEL_OK[0]
+            _KERNEL_OK[key] = False
+    return _KERNEL_OK[key]
 
 
-@jax.custom_batching.custom_vmap
-def _sat(ga, gb, pvf):
-    return _sat_ref(ga, gb, pvf)
+_SAT_DISPATCH: dict = {}
 
 
-@_sat.def_vmap
-def _sat_vmap(axis_size, in_batched, ga, gb, pvf):
-    """Batched (env-fleet) SAT: one Pallas kernel on TPU-class backends,
-    vmapped XLA reference elsewhere or for shapes the kernel doesn't
-    block cleanly."""
-    if not all(in_batched):
-        ga, gb, pvf = (
-            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            for x, b in zip((ga, gb, pvf), in_batched)
+def _sat_dispatch(kinds=_ALL_KINDS):
+    """custom_vmap SAT dispatcher per static shape-kind hint."""
+    key = tuple(kinds)
+    if key in _SAT_DISPATCH:
+        return _SAT_DISPATCH[key]
+
+    @jax.custom_batching.custom_vmap
+    def _sat(ga, gb, pvf):
+        return _sat_ref(ga, gb, pvf, kinds=key)
+
+    @_sat.def_vmap
+    def _sat_vmap(axis_size, in_batched, ga, gb, pvf):
+        """Batched (env-fleet) SAT: one Pallas kernel on TPU-class
+        backends, vmapped XLA reference elsewhere or for shapes the
+        kernel doesn't block cleanly."""
+        if not all(in_batched):
+            ga, gb, pvf = (
+                x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, b in zip((ga, gb, pvf), in_batched)
+            )
+        use_kernel = (
+            ga.ndim == 3
+            and ga.shape[-1] % 128 == 0
+            and ga.shape[0] % 8 == 0
+            and jax.default_backend() != "cpu"
+            and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
+            and _kernel_supported(key)
         )
-    use_kernel = (
-        ga.ndim == 3
-        and ga.shape[-1] % 128 == 0
-        and ga.shape[0] % 8 == 0
-        and jax.default_backend() != "cpu"
-        and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
-        and _kernel_supported()
-    )
-    if use_kernel:
-        out = _sat_fleet_pallas(ga, gb, pvf)
-    else:
-        out = jax.vmap(_sat_ref)(ga, gb, pvf)
-    return out, tuple(True for _ in out)
+        if use_kernel:
+            out = _sat_fleet_pallas(ga, gb, pvf, kinds=key)
+        else:
+            out = jax.vmap(lambda *a: _sat_ref(*a, kinds=key))(ga, gb, pvf)
+        return out, tuple(True for _ in out)
+
+    _SAT_DISPATCH[key] = _sat
+    return _sat
 
 
 def _sat_inputs(b: PlanarBodies, ia, ib, pair_valid):
@@ -952,12 +978,13 @@ def _sat_inputs(b: PlanarBodies, ia, ib, pair_valid):
     return ga, gb, pair_valid.astype(jnp.float32)
 
 
-def planar_contacts(b: PlanarBodies, ia, ib, pair_valid) -> PlanarContacts:
+def planar_contacts(b: PlanarBodies, ia, ib, pair_valid,
+                    kinds=_ALL_KINDS) -> PlanarContacts:
     ga, gb, pvf = _sat_inputs(b, ia, ib, pair_valid)
 
-    (ptx, pty, ptz, nmx, nmy, nmz, dp, vdf, cid, fr, re, tgf) = _sat(
-        ga, gb, pvf
-    )
+    (ptx, pty, ptz, nmx, nmy, nmz, dp, vdf, cid, fr, re, tgf) = _sat_dispatch(
+        kinds
+    )(ga, gb, pvf)
     valid_raw = vdf > 0.5
     is_trigger = tgf > 0.5
     return PlanarContacts(
@@ -1487,7 +1514,7 @@ def step_planar_cached(b: PlanarBodies, params: SolverParams,
     (bodies, cache) carry. Returns (bodies, cache, stats)."""
     b = planar_integrate_velocities(b, params.dt, params.gravity)
     ia, ib, pair_valid, n_cand = planar_broadphase(b, params.max_pairs)
-    con = planar_contacts(b, ia, ib, pair_valid)
+    con = planar_contacts(b, ia, ib, pair_valid, params.shape_kinds)
     lam0 = planar_gather_warm(cache, ia, ib, pair_valid, con.cand, key_id)
     vel, omega, (ln, l1, l2), cnt = planar_solve(
         b, con, params, ia, ib, lam0

@@ -54,6 +54,15 @@ class SolverParams:
     sleep_lin: float = struct.field(pytree_node=False, default=0.8)
     sleep_ang: float = struct.field(pytree_node=False, default=1.0)
     sleep_time: float = struct.field(pytree_node=False, default=2.0)
+    # static hint: which collider shape types exist ANYWHERE in the
+    # scene. ("box",) lets the planar narrowphase drop the capsule/sphere
+    # candidate generators (same results on box-only scenes, ~half the
+    # SAT kernel body — the headline fleet config). The default keeps
+    # every generator; an incorrect narrower hint produces missing
+    # contacts, so only set it from scene construction knowledge.
+    shape_kinds: tuple = struct.field(
+        pytree_node=False, default=("box", "sphere", "capsule")
+    )
 
 
 # contacts*bodies threshold below which the solve uses one-hot matmuls

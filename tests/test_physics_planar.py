@@ -384,3 +384,81 @@ def test_solve_fleet_pallas_interpret_matches_ref(n_envs):
     np.testing.assert_allclose(
         np.asarray(ker_lam), np.asarray(ref_lam), atol=2e-5
     )
+
+
+def test_shape_kinds_box_specialization_matches():
+    """SolverParams(shape_kinds=('box',)) on a box-only scene produces
+    IDENTICAL contacts and trajectories to the general narrowphase (the
+    dropped generators never fire on box-only scenes) — in both the
+    XLA reference and the Pallas kernel (interpret)."""
+    b = mixed_scene(with_caps=False)  # boxes only
+    p = pp.planar_from_rigid(b)
+    params = SolverParams(max_pairs=64, iterations=4)
+    ia, ib, val, _ = pp.planar_broadphase(p, params.max_pairs)
+    con_gen = pp.planar_contacts(p, ia, ib, val)
+    con_box = pp.planar_contacts(p, ia, ib, val, kinds=("box",))
+    m = np.asarray(con_gen.valid) & np.asarray(con_box.valid)
+    assert m.sum() > 20
+    np.testing.assert_array_equal(
+        np.asarray(con_gen.cand)[m], np.asarray(con_box.cand)[m]
+    )
+    for name in ("friction", "restitution"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(con_gen, name)),
+            np.asarray(getattr(con_box, name)), err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(con_gen.depth)[m], np.asarray(con_box.depth)[m],
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(con_gen.point.x)[m], np.asarray(con_box.point.x)[m],
+        atol=5e-6,
+    )
+
+    # fleet kernel path (interpret): box hint == general on 8 box envs
+    gas, gbs, pvs = [], [], []
+    for e in range(8):
+        bb = mixed_scene(seed=200 + e, with_caps=False)
+        pb = pp.planar_from_rigid(bb)
+        i2, j2, v2, _ = pp.planar_broadphase(pb, 128)
+        ga, gb_, pvf = pp._sat_inputs(pb, i2, j2, v2)
+        gas.append(ga); gbs.append(gb_); pvs.append(pvf)
+    ga, gb_, pvf = jnp.stack(gas), jnp.stack(gbs), jnp.stack(pvs)
+    out_g = pp._sat_fleet_pallas(ga, gb_, pvf, interpret=True)
+    out_b = pp._sat_fleet_pallas(ga, gb_, pvf, interpret=True,
+                                 kinds=("box",))
+    # the two graphs compile with different fusion/FMA choices, so float
+    # planes carry ~1e-6 drift; graze-depth validity flips are the only
+    # permitted discrete divergence (same contract as the kernel-vs-ref
+    # test above)
+    vg = np.asarray(out_g[7]) > 0.5
+    vb = np.asarray(out_b[7]) > 0.5
+    dis = vg != vb
+    if dis.any():
+        graze = np.abs(np.where(vg, np.asarray(out_g[6]),
+                                np.asarray(out_b[6])))
+        assert graze[dis].max() < 1e-5
+    both = vg & vb
+    assert both.sum() > 200
+    for i in range(7):
+        np.testing.assert_allclose(
+            np.asarray(out_b[i])[both], np.asarray(out_g[i])[both],
+            atol=5e-6, err_msg=str(i),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out_b[8])[both], np.asarray(out_g[8])[both]
+    )
+
+    # trajectories with the params-level hint stay together (graph-level
+    # FMA drift only)
+    c0 = pp.empty_planar_cache(params.max_pairs)
+    pk = params.replace(shape_kinds=("box",))
+    sg, sb = p, p
+    cg, cb = c0, c0
+    for _ in range(5):
+        sg, cg, _ = pp.step_planar_cached(sg, params, cg)
+        sb, cb, _ = pp.step_planar_cached(sb, pk, cb)
+    np.testing.assert_allclose(
+        np.asarray(sg.pos.y), np.asarray(sb.pos.y), atol=1e-4
+    )
