@@ -116,8 +116,19 @@ def compact_flat_indices(valid, max_pairs: int, force_blockrank: bool = False):
         )
         b_k = jnp.clip(b_k, 0, b - 1)
         lr = ks - base[b_k]                                 # rank in block
-        packed = jnp.concatenate([lane_cum, v], axis=1)     # ONE row gather
-        rows = packed[b_k]                                  # [cap, 2W]
+        # block-row fetch as a one-hot matmul, NOT packed[b_k]: the row
+        # gather batches under vmap into [E*cap] row ops (~0.65 ms/fleet
+        # at 1024x64), the [cap, B] @ [B, 2W] one-hot lands as ONE batched
+        # MXU GEMM (values are small ints — exact in f32)
+        packed = jnp.concatenate([lane_cum, v], axis=1).astype(jnp.float32)
+        oh = (
+            jnp.arange(b, dtype=jnp.int32)[None, :] == b_k[:, None]
+        ).astype(jnp.float32)                               # [cap, B]
+        from scx.core import math3d as _m3
+
+        rows = jnp.matmul(oh, packed, precision=_m3.PRECISION).astype(
+            jnp.int32
+        )                                                   # [cap, 2W]
         hit = (rows[:, :w] == (lr + 1)[:, None]) & (rows[:, w:] > 0)
         lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
         kflat = jnp.where(ks < n_valid, b_k * w + lane, 0)

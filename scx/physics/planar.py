@@ -827,10 +827,16 @@ def _sat_fleet_pallas(ga, gb, pvf, interpret=False, kinds=_ALL_KINDS):
     from jax.experimental import pallas as plx
 
     e, w, p = ga.shape
-    # eb=8 == one native (8, 128) tile per plane. Bigger blocks don't
-    # help (the body is pure VPU math, grid steps amortize) and eb=128
-    # fails to compile — the ~4k live [eb, p] intermediates blow VMEM.
-    eb = 8 if e % 8 == 0 else e
+    # block = eb envs. Swept on chip (bench_planar_kernels.py, 2026-08-20):
+    # eb=8 2.21 ms, eb=16 2.52 ms, eb=32 VMEM OOM (17.06M > 16M) — the
+    # body is VMEM-scheduling-bound, not instruction-issue-bound, so one
+    # native (8, 128) tile per op is optimal. SCX_PLANAR_SAT_EB overrides
+    # for sweeps.
+    eb = int(os.environ.get("SCX_PLANAR_SAT_EB", "8"))
+    while eb > 8 and e % eb:
+        eb //= 2
+    if e % eb:
+        eb = e
     grid = (e // eb,)
 
     def kernel(ga_ref, gb_ref, pv_ref, *outs):
@@ -1134,29 +1140,43 @@ def _solve_q(name: str) -> int:
     return i + _SOLVE_SCALAR.index(name)
 
 
+def _bmm(a, b):
+    """_mm that also takes leading batch dims (batched MXU dot)."""
+    if a.ndim == 2:
+        return _mm(a, b)
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((a.ndim - 1,), (b.ndim - 2,)), ((0,), (0,))),
+        precision=m3.PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
     """The relaxed-Jacobi iteration loop from packed operands.
 
     jac [R, P] (layout above), oh_a/oh_b [N, P] f32 one-hots,
     oh_at/oh_bt their transposes, vw0 [6, N]. Returns (vw [6, N],
-    lam [12, P]: ln/l1/l2 k-minor). Pure 2D math — the same code runs as
-    the per-scene XLA path and inside the Pallas fleet kernel (one env at
-    a time), so fleet and single-scene solves stay formula-identical."""
+    lam [12, P]: ln/l1/l2 k-minor). Shape-generic over ONE leading batch
+    dim ([Eb, R, P] etc. — gathers become batched MXU dots) — the same
+    code runs as the per-scene XLA path and on whole env blocks inside
+    the Pallas fleet kernel, so fleet and single-scene solves stay
+    formula-identical."""
     K = _K
 
-    def q(name):          # [K, P] slot planes of a scalar quantity
+    def q(name):          # [..., K, P] slot planes of a scalar quantity
         base = _solve_q(name) * K
-        return jac[base:base + K, :]
+        return jac[..., base:base + K, :]
 
-    def qv(name):         # V3 of [K, P]
+    def qv(name):         # V3 of [..., K, P]
         base = _solve_q(name) * K
-        return V3(jac[base:base + K, :],
-                  jac[base + K:base + 2 * K, :],
-                  jac[base + 2 * K:base + 3 * K, :])
+        return V3(jac[..., base:base + K, :],
+                  jac[..., base + K:base + 2 * K, :],
+                  jac[..., base + 2 * K:base + 3 * K, :])
 
-    def pair(name):       # [1, P]
-        return jac[_SOLVE_NQ * K + _SOLVE_PAIR.index(name):
-                   _SOLVE_NQ * K + _SOLVE_PAIR.index(name) + 1, :]
+    def pair(name):       # [..., 1, P]
+        i = _SOLVE_NQ * K + _SOLVE_PAIR.index(name)
+        return jac[..., i:i + 1, :]
 
     n, t1, t2 = qv("n"), qv("t1"), qv("t2")
     a_an, a_bn = qv("a_an"), qv("a_bn")
@@ -1171,12 +1191,13 @@ def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
     cv = cvalid > 0.5
 
     def one_pass(vw, ln, l1, l2):
-        ga = _mm(vw, oh_a)                     # [6, P]
-        gb = _mm(vw, oh_b)
-        va = V3(ga[0:1], ga[1:2], ga[2:3])     # [1, P] broadcast over K
-        wa = V3(ga[3:4], ga[4:5], ga[5:6])
-        vb = V3(gb[0:1], gb[1:2], gb[2:3])
-        wb = V3(gb[3:4], gb[4:5], gb[5:6])
+        ga = _bmm(vw, oh_a)                    # [..., 6, P]
+        gb = _bmm(vw, oh_b)
+        s6 = lambda g, i: g[..., i:i + 1, :]   # [..., 1, P] over K
+        va = V3(s6(ga, 0), s6(ga, 1), s6(ga, 2))
+        wa = V3(s6(ga, 3), s6(ga, 4), s6(ga, 5))
+        vb = V3(s6(gb, 0), s6(gb, 1), s6(gb, 2))
+        wb = V3(s6(gb, 3), s6(gb, 4), s6(gb, 5))
         v = (va + pl.vcross(wa, r_a)) - (vb + pl.vcross(wb, r_b))
 
         vn = pl.vdot(v, n)
@@ -1202,24 +1223,24 @@ def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
         dw_b = a_bn * d_ln + a_b1 * d_l1 + a_b2 * d_l2
         lin_a, lin_b = imp * im_a, imp * im_b
 
-        def ksum(x):                            # [K, P] -> [1, P]
-            return jnp.sum(x, axis=0, keepdims=True)
+        def ksum(x):                            # [..., K, P] -> [..., 1, P]
+            return jnp.sum(x, axis=-2, keepdims=True)
 
         upd_a = jnp.concatenate(
             [ksum(lin_a.x), ksum(lin_a.y), ksum(lin_a.z),
-             ksum(dw_a.x), ksum(dw_a.y), ksum(dw_a.z)], axis=0
-        )  # [6, P]
+             ksum(dw_a.x), ksum(dw_a.y), ksum(dw_a.z)], axis=-2
+        )  # [..., 6, P]
         upd_b = jnp.concatenate(
             [ksum(lin_b.x), ksum(lin_b.y), ksum(lin_b.z),
-             ksum(dw_b.x), ksum(dw_b.y), ksum(dw_b.z)], axis=0
+             ksum(dw_b.x), ksum(dw_b.y), ksum(dw_b.z)], axis=-2
         )
-        vw = vw + _mm(upd_a, oh_at) - _mm(upd_b, oh_bt)
+        vw = vw + _bmm(upd_a, oh_at) - _bmm(upd_b, oh_bt)
         return vw, ln_new, l1_new, l2_new
 
     vw = vw0
     for _ in range(iterations):
         vw, ln, l1, l2 = one_pass(vw, ln, l1, l2)
-    return vw, jnp.concatenate([ln, l1, l2], axis=0)
+    return vw, jnp.concatenate([ln, l1, l2], axis=-2)
 
 
 def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
@@ -1235,30 +1256,24 @@ def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
 
     e, r, p = jac.shape
     nb = oh_a.shape[1]
-    eb = 8 if e % 8 == 0 else e
+    eb = int(os.environ.get("SCX_PLANAR_SOLVE_EB", "8"))
+    while eb > 8 and e % eb:
+        eb //= 2
+    if e % eb:
+        eb = e
     grid = (e // eb,)
 
-    def kernel(jac_ref, oa_ref, ob_ref, oat_ref, obt_ref, vw_ref, *outs):
-        for le in range(eb):
-            vw, lam = _solve_iter_core(
-                jac_ref[le], oa_ref[le], ob_ref[le],
-                oat_ref[le], obt_ref[le], vw_ref[le], iterations,
-            )
-            for c in range(6):
-                outs[c][le:le + 1, :] = vw[c:c + 1, :]
-            for c in range(12):
-                outs[6 + c][le:le + 1, :] = lam[c:c + 1, :]
+    def kernel(jac_ref, oa_ref, ob_ref, oat_ref, obt_ref, vw_ref,
+               vw_out, lam_out):
+        vw, lam = _solve_iter_core(
+            jac_ref[...], oa_ref[...], ob_ref[...],
+            oat_ref[...], obt_ref[...], vw_ref[...], iterations,
+        )
+        vw_out[...] = vw
+        lam_out[...] = lam
 
     f32 = jnp.float32
-    out_shape = (
-        [jax.ShapeDtypeStruct((e, nb), f32)] * 6
-        + [jax.ShapeDtypeStruct((e, p), f32)] * 12
-    )
-    out_specs = (
-        [plx.BlockSpec((eb, nb), lambda i: (i, 0))] * 6
-        + [plx.BlockSpec((eb, p), lambda i: (i, 0))] * 12
-    )
-    flat = plx.pallas_call(
+    vw, lam = plx.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1269,12 +1284,16 @@ def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
             plx.BlockSpec((eb, p, nb), lambda i: (i, 0, 0)),
             plx.BlockSpec((eb, 6, nb), lambda i: (i, 0, 0)),
         ],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=[
+            plx.BlockSpec((eb, 6, nb), lambda i: (i, 0, 0)),
+            plx.BlockSpec((eb, 12, p), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, 6, nb), f32),
+            jax.ShapeDtypeStruct((e, 12, p), f32),
+        ],
         interpret=interpret,
     )(jac, oh_a, oh_b, oh_at, oh_bt, vw0)
-    vw = jnp.stack(flat[:6], axis=1)           # [E, 6, N]
-    lam = jnp.stack(flat[6:], axis=1)          # [E, 12, P]
     return vw, lam
 
 
