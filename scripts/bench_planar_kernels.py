@@ -99,32 +99,30 @@ def main():
         ib = jax.random.randint(ks[4], (E, P), 0, NB)
         oh_a = jax.vmap(lambda i: pp._onehot(i, NB))(ia)
         oh_b = jax.vmap(lambda i: pp._onehot(i, NB))(ib)
-        oh_at = jnp.swapaxes(oh_a, -1, -2)
-        oh_bt = jnp.swapaxes(oh_b, -1, -2)
         vw0 = jax.random.normal(ks[5], (E, 6, NB), jnp.float32)
         it = args.solve_iters
 
-        def chain_solve_kernel(jac, oa, ob, oat, obt, vw):
+        def chain_solve_kernel(jac, oa, ob, vw):
             def body(c, _):
                 jac, vw = c
                 vw2, lam = pp._solve_fleet_pallas(
-                    jac, oa, ob, oat, obt, vw, iterations=it, interpret=interp
+                    jac, oa, ob, vw, iterations=it, interpret=interp
                 )
                 return (jac + jnp.sum(lam) * 1e-12, vw2 * 0.5), None
             return jax.lax.scan(body, (jac, vw), None, length=N)[0]
 
-        def chain_solve_xla(jac, oa, ob, oat, obt, vw):
+        def chain_solve_xla(jac, oa, ob, vw):
             core = jax.vmap(
                 lambda *a: pp._solve_iter_core(*a, iterations=it)
             )
 
             def body(c, _):
                 jac, vw = c
-                vw2, lam = core(jac, oa, ob, oat, obt, vw)
+                vw2, lam = core(jac, oa, ob, vw)
                 return (jac + jnp.sum(lam) * 1e-12, vw2 * 0.5), None
             return jax.lax.scan(body, (jac, vw), None, length=N)[0]
 
-        sargs = (jac, oh_a, oh_b, oh_at, oh_bt, vw0)
+        sargs = (jac, oh_a, oh_b, vw0)
         runs.append(("solve_kernel", jax.jit(chain_solve_kernel), sargs))
         runs.append(("solve_xla", jax.jit(chain_solve_xla), sargs))
 

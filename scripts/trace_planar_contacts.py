@@ -33,8 +33,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--pairs", type=int, default=256)
     ap.add_argument("--out", type=str, default="/tmp/planar_trace")
+    ap.add_argument("--box-kinds", action="store_true")
     ap.add_argument("--stage", type=str, default="contacts",
-                    choices=["contacts", "solve", "full"])
+                    choices=["contacts", "solve", "full", "step"])
     args = ap.parse_args()
 
     import bench
@@ -42,7 +43,10 @@ def main():
     from scx.physics import planar as pp
 
     E, NB, N = args.envs, args.bodies, args.iters
-    params = ph.SolverParams(max_pairs=args.pairs, iterations=6)
+    params = ph.SolverParams(
+        max_pairs=args.pairs, iterations=6,
+        shape_kinds=("box",) if args.box_kinds else ("box", "sphere", "capsule"),
+    )
     batch = bench.build_batch(E, NB)
     pb = jax.vmap(pp.planar_from_rigid)(batch)
     pc = jax.tree.map(
@@ -51,11 +55,15 @@ def main():
     )
 
     def one(s, cc):
+        if args.stage == "step":
+            s, cc, st = pp.step_planar_cached(s, params, cc)
+            acc = jnp.sum(st["contacts"]).astype(jnp.float32)
+            return s.replace(vel=s.vel * (1.0 + acc * 0.0)), cc
         s = pp.planar_integrate_velocities(s, params.dt, params.gravity)
         ia, ib_, val, n_cand = pp.planar_broadphase(s, params.max_pairs)
         acc = (n_cand + jnp.sum(val)).astype(jnp.float32)
         if args.stage in ("contacts", "solve", "full"):
-            con = pp.planar_contacts(s, ia, ib_, val)
+            con = pp.planar_contacts(s, ia, ib_, val, params.shape_kinds)
             acc = acc + jnp.sum(con.depth) + jnp.sum(con.valid)
         if args.stage in ("solve", "full"):
             lam0 = pp.planar_gather_warm(cc, ia, ib_, val, con.cand)

@@ -99,14 +99,21 @@ def compact_flat_indices(valid, max_pairs: int, force_blockrank: bool = False):
         # lane. Replaces a top_k whose full [N^2] sort was the single
         # biggest op of the RL physics step (26 ms/step at 1024 envs);
         # exact same output order (ascending flat), no sort, no scatter.
+        from scx.core import math3d as _m3
+
         w = 128
         pad = (-m) % w
-        v = valid.astype(jnp.int32)
+        v = valid.astype(jnp.float32)
         if pad:
-            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.int32)])
+            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
         b = v.shape[0] // w
         v = v.reshape(b, w)
-        lane_cum = jnp.cumsum(v, axis=1)                    # [B, W]
+        # lane cumsum as ONE triangular matmul ([B, W] @ [W, W] lands on
+        # the MXU; counts <= W are exact in f32) — jnp.cumsum lowers to a
+        # reduce-window chain that measured 0.40 ms/fleet-step at 1024x64
+        lanes = jnp.arange(w, dtype=jnp.int32)
+        tri = (lanes[:, None] <= lanes[None, :]).astype(jnp.float32)
+        lane_cum = jnp.matmul(v, tri, precision=_m3.PRECISION)  # [B, W]
         blk = lane_cum[:, -1]                               # [B]
         base = jnp.cumsum(blk) - blk                        # exclusive [B]
         ks = jnp.arange(max_pairs, dtype=jnp.int32)
@@ -115,21 +122,20 @@ def compact_flat_indices(valid, max_pairs: int, force_blockrank: bool = False):
             - 1
         )
         b_k = jnp.clip(b_k, 0, b - 1)
-        lr = ks - base[b_k]                                 # rank in block
-        # block-row fetch as a one-hot matmul, NOT packed[b_k]: the row
-        # gather batches under vmap into [E*cap] row ops (~0.65 ms/fleet
-        # at 1024x64), the [cap, B] @ [B, 2W] one-hot lands as ONE batched
-        # MXU GEMM (values are small ints — exact in f32)
-        packed = jnp.concatenate([lane_cum, v], axis=1).astype(jnp.float32)
+        # block-row fetch as a one-hot matmul, NOT packed[b_k]: row/element
+        # gathers batch under vmap into [E*cap] row ops (the base[b_k]
+        # element gather alone measured 1.34 ms/fleet-step at 1024x64);
+        # the [cap, B] @ [B, 2W+1] one-hot (base rides along as an extra
+        # column) lands as ONE batched MXU GEMM — small ints, exact in f32
+        packed = jnp.concatenate([lane_cum, v, base[:, None]], axis=1)
         oh = (
             jnp.arange(b, dtype=jnp.int32)[None, :] == b_k[:, None]
         ).astype(jnp.float32)                               # [cap, B]
-        from scx.core import math3d as _m3
-
         rows = jnp.matmul(oh, packed, precision=_m3.PRECISION).astype(
             jnp.int32
-        )                                                   # [cap, 2W]
-        hit = (rows[:, :w] == (lr + 1)[:, None]) & (rows[:, w:] > 0)
+        )                                                   # [cap, 2W+1]
+        lr = ks - rows[:, 2 * w]                            # rank in block
+        hit = (rows[:, :w] == (lr + 1)[:, None]) & (rows[:, w:2 * w] > 0)
         lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
         kflat = jnp.where(ks < n_valid, b_k * w + lane, 0)
     else:

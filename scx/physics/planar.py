@@ -1152,43 +1152,42 @@ def _bmm(a, b):
     )
 
 
-def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
-    """The relaxed-Jacobi iteration loop from packed operands.
+def _bmm_nt(a, b):
+    """a @ b^T without materializing the transpose: contracts a's last
+    dim with b's LAST dim (batched over one optional leading dim). Inside
+    Pallas this avoids shipping/relayouting [P, N] transposes of the
+    one-hots; the MXU contracts either layout."""
+    if a.ndim == 2:
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=m3.PRECISION, preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=m3.PRECISION, preferred_element_type=jnp.float32,
+    )
 
-    jac [R, P] (layout above), oh_a/oh_b [N, P] f32 one-hots,
-    oh_at/oh_bt their transposes, vw0 [6, N]. Returns (vw [6, N],
-    lam [12, P]: ln/l1/l2 k-minor). Shape-generic over ONE leading batch
-    dim ([Eb, R, P] etc. — gathers become batched MXU dots) — the same
-    code runs as the per-scene XLA path and on whole env blocks inside
-    the Pallas fleet kernel, so fleet and single-scene solves stay
-    formula-identical."""
-    K = _K
 
-    def q(name):          # [..., K, P] slot planes of a scalar quantity
-        base = _solve_q(name) * K
-        return jac[..., base:base + K, :]
+def _iter_loop(q, oh_a, oh_b, vw0, iterations: int):
+    """The relaxed-Jacobi sweep loop over explicit quantity arrays.
 
-    def qv(name):         # V3 of [..., K, P]
-        base = _solve_q(name) * K
-        return V3(jac[..., base:base + K, :],
-                  jac[..., base + K:base + 2 * K, :],
-                  jac[..., base + 2 * K:base + 3 * K, :])
-
-    def pair(name):       # [..., 1, P]
-        i = _SOLVE_NQ * K + _SOLVE_PAIR.index(name)
-        return jac[..., i:i + 1, :]
-
-    n, t1, t2 = qv("n"), qv("t1"), qv("t2")
-    a_an, a_bn = qv("a_an"), qv("a_bn")
-    a_a1, a_b1 = qv("a_a1"), qv("a_b1")
-    a_a2, a_b2 = qv("a_a2"), qv("a_b2")
-    r_a, r_b = qv("r_a"), qv("r_b")
-    kn, k1, k2 = q("kn"), q("k1"), q("k2")
-    target, cvalid = q("target"), q("cvalid")
-    ln, l1, l2 = q("ln0"), q("l10"), q("l20")
-    im_a, im_b = pair("im_a"), pair("im_b")
-    relax, fr = pair("relax"), pair("fr")
-    cv = cvalid > 0.5
+    q: dict of iteration-invariant operands — V3-of-[..., K, P] planes
+    for n/t1/t2/a_*/r_*, [..., K, P] for kn/k1/k2/target/cvalid/ln0/l10/
+    l20, [..., 1, P] for im_a/im_b/relax/fr. oh_a/oh_b [..., N, P] f32
+    one-hots, vw0 [..., 6, N]. Returns (vw, ln, l1, l2). Shared verbatim
+    by the per-scene XLA path, the standalone solve kernel and the fused
+    middle kernel so every path stays formula-identical."""
+    n, t1, t2 = q["n"], q["t1"], q["t2"]
+    a_an, a_bn = q["a_an"], q["a_bn"]
+    a_a1, a_b1 = q["a_a1"], q["a_b1"]
+    a_a2, a_b2 = q["a_a2"], q["a_b2"]
+    r_a, r_b = q["r_a"], q["r_b"]
+    kn, k1, k2 = q["kn"], q["k1"], q["k2"]
+    target = q["target"]
+    ln, l1, l2 = q["ln0"], q["l10"], q["l20"]
+    im_a, im_b = q["im_a"], q["im_b"]
+    relax, fr = q["relax"], q["fr"]
+    cv = q["cvalid"] > 0.5
 
     def one_pass(vw, ln, l1, l2):
         ga = _bmm(vw, oh_a)                    # [..., 6, P]
@@ -1234,24 +1233,56 @@ def _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0, iterations: int):
             [ksum(lin_b.x), ksum(lin_b.y), ksum(lin_b.z),
              ksum(dw_b.x), ksum(dw_b.y), ksum(dw_b.z)], axis=-2
         )
-        vw = vw + _bmm(upd_a, oh_at) - _bmm(upd_b, oh_bt)
+        vw = vw + _bmm_nt(upd_a, oh_a) - _bmm_nt(upd_b, oh_b)
         return vw, ln_new, l1_new, l2_new
 
     vw = vw0
     for _ in range(iterations):
         vw, ln, l1, l2 = one_pass(vw, ln, l1, l2)
+    return vw, ln, l1, l2
+
+
+def _solve_iter_core(jac, oh_a, oh_b, vw0, iterations: int):
+    """The relaxed-Jacobi iteration loop from packed operands.
+
+    jac [R, P] (layout above), oh_a/oh_b [N, P] f32 one-hots, vw0
+    [6, N]. Returns (vw [6, N], lam [12, P]: ln/l1/l2 k-minor).
+    Shape-generic over ONE leading batch dim ([Eb, R, P] etc. — gathers
+    become batched MXU dots); unpacks jac and defers to _iter_loop, the
+    sweep loop shared with the fused middle kernel."""
+    K = _K
+
+    def q(name):          # [..., K, P] slot planes of a scalar quantity
+        base = _solve_q(name) * K
+        return jac[..., base:base + K, :]
+
+    def qv(name):         # V3 of [..., K, P]
+        base = _solve_q(name) * K
+        return V3(jac[..., base:base + K, :],
+                  jac[..., base + K:base + 2 * K, :],
+                  jac[..., base + 2 * K:base + 3 * K, :])
+
+    def pair(name):       # [..., 1, P]
+        i = _SOLVE_NQ * K + _SOLVE_PAIR.index(name)
+        return jac[..., i:i + 1, :]
+
+    quantities = {name: qv(name) for name in _SOLVE_V3}
+    quantities.update({name: q(name) for name in _SOLVE_SCALAR})
+    quantities.update({name: pair(name) for name in _SOLVE_PAIR})
+    vw, ln, l1, l2 = _iter_loop(quantities, oh_a, oh_b, vw0, iterations)
     return vw, jnp.concatenate([ln, l1, l2], axis=-2)
 
 
-def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
+def _solve_fleet_pallas(jac, oh_a, oh_b, vw0,
                         iterations: int, interpret=False):
     """The iteration loop as ONE Pallas kernel, grid over 8-env blocks.
 
     All 6 iterations run VMEM-resident: the XLA scan materializes ~30
     [E, K, P] planes to HBM between fusions EVERY iteration (measured
     7.3 ms of the 31 ms step at 1024x64, P=256), the kernel touches HBM
-    once in and once out. jac [E, R, P], one-hots [E, N, P]/[E, P, N],
-    vw0 [E, 6, N]."""
+    once in and once out. jac [E, R, P], one-hots [E, N, P], vw0
+    [E, 6, N] (the scatter contracts the one-hots' last dim directly —
+    no transposes shipped)."""
     from jax.experimental import pallas as plx
 
     e, r, p = jac.shape
@@ -1263,11 +1294,9 @@ def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
         eb = e
     grid = (e // eb,)
 
-    def kernel(jac_ref, oa_ref, ob_ref, oat_ref, obt_ref, vw_ref,
-               vw_out, lam_out):
+    def kernel(jac_ref, oa_ref, ob_ref, vw_ref, vw_out, lam_out):
         vw, lam = _solve_iter_core(
-            jac_ref[...], oa_ref[...], ob_ref[...],
-            oat_ref[...], obt_ref[...], vw_ref[...], iterations,
+            jac_ref[...], oa_ref[...], ob_ref[...], vw_ref[...], iterations,
         )
         vw_out[...] = vw
         lam_out[...] = lam
@@ -1280,8 +1309,6 @@ def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
             plx.BlockSpec((eb, r, p), lambda i: (i, 0, 0)),
             plx.BlockSpec((eb, nb, p), lambda i: (i, 0, 0)),
             plx.BlockSpec((eb, nb, p), lambda i: (i, 0, 0)),
-            plx.BlockSpec((eb, p, nb), lambda i: (i, 0, 0)),
-            plx.BlockSpec((eb, p, nb), lambda i: (i, 0, 0)),
             plx.BlockSpec((eb, 6, nb), lambda i: (i, 0, 0)),
         ],
         out_specs=[
@@ -1293,7 +1320,7 @@ def _solve_fleet_pallas(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
             jax.ShapeDtypeStruct((e, 12, p), f32),
         ],
         interpret=interpret,
-    )(jac, oh_a, oh_b, oh_at, oh_bt, vw0)
+    )(jac, oh_a, oh_b, vw0)
     return vw, lam
 
 
@@ -1306,11 +1333,10 @@ def _solve_kernel_supported(iterations: int) -> bool:
         try:
             jac = jnp.zeros((8, _SOLVE_R, 128), jnp.float32)
             oh = jnp.zeros((8, 64, 128), jnp.float32)
-            oht = jnp.zeros((8, 128, 64), jnp.float32)
             vw = jnp.zeros((8, 6, 64), jnp.float32)
             jax.jit(
                 lambda *a: _solve_fleet_pallas(*a, iterations=iterations)
-            ).lower(jac, oh, oh, oht, oht, vw).compile()
+            ).lower(jac, oh, oh, vw).compile()
             _SOLVE_KERNEL_OK[iterations] = True
         except Exception as exc:
             from scx.core.log import warn
@@ -1333,14 +1359,12 @@ def _solve_iterate(iterations: int):
         return _SOLVE_DISPATCH[iterations]
 
     @jax.custom_batching.custom_vmap
-    def solve_it(jac, oh_a, oh_b, oh_at, oh_bt, vw0):
-        return _solve_iter_core(jac, oh_a, oh_b, oh_at, oh_bt, vw0,
-                                iterations)
+    def solve_it(jac, oh_a, oh_b, vw0):
+        return _solve_iter_core(jac, oh_a, oh_b, vw0, iterations)
 
     @solve_it.def_vmap
-    def _vmap_rule(axis_size, in_batched, jac, oh_a, oh_b, oh_at, oh_bt,
-                   vw0):
-        args = (jac, oh_a, oh_b, oh_at, oh_bt, vw0)
+    def _vmap_rule(axis_size, in_batched, jac, oh_a, oh_b, vw0):
+        args = (jac, oh_a, oh_b, vw0)
         if not all(in_batched):
             args = tuple(
                 x if bt else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
@@ -1512,13 +1536,401 @@ def planar_solve(b: PlanarBodies, con: PlanarContacts, params: SolverParams,
         + [prows[nm][None, :] for nm in _SOLVE_PAIR],
         axis=0,
     )  # [R, P]
-    vw, lam = _solve_iterate(params.iterations)(
-        jac, oh_a, oh_b, oh_a.T, oh_b.T, vw0
-    )
+    vw, lam = _solve_iterate(params.iterations)(jac, oh_a, oh_b, vw0)
     ln, l1, l2 = lam[:_K], lam[_K:2 * _K], lam[2 * _K:]
     vel = V3(vw[0], vw[1], vw[2])
     omega = V3(vw[3], vw[4], vw[5])
     return vel, omega, (ln, l1, l2), cnt
+
+
+# ---------------------------------------------------------------------------
+# fused middle: SAT narrowphase + warm-start gather + velocity solve as ONE
+# dispatchable unit (one Pallas kernel per fleet on TPU-class backends)
+# ---------------------------------------------------------------------------
+# The staged path (planar_contacts -> planar_gather_warm -> planar_solve)
+# round-trips every intermediate through HBM and leaves XLA ~2.8 ms/step of
+# glue fusions between the two kernels at 1024x64 (device trace 2026-08-21:
+# SAT kernel 0.80 ms + solve kernel 0.77 ms + glue; jac pack alone is an
+# [E, 168, P] materialization). The fused core runs the same formulas in the
+# same order from 21 packed body rows, entirely VMEM-resident per env block.
+
+# rows layout for _middle_core ([S=21, N] per scene):
+#   0:14  the SAT operand rows of _sat_inputs (centers, quat, shape, size,
+#         friction, restitution, trigger)
+#   14    inv_mass
+#   15:18 pos
+#   18:21 inv_inertia
+_MID_ROWS = 21
+
+
+def _warm_prev(cache: PlanarCache, ka, kb, pair_valid):
+    """The key-matched previous pair record (planar_gather_warm's match +
+    gather, without the slot re-association): [4K, P] — cand+1 rows then
+    lam_n/lam_1/lam_2 rows. Runs in XLA even on the fused path (Mosaic
+    rejects the lane->sublane outer-compare the [P, P] match needs)."""
+    onehot = (
+        (ka[:, None] == cache.key_a[None, :])
+        & (kb[:, None] == cache.key_b[None, :])
+        & pair_valid[:, None]
+        & (cache.key_a != _EMPTY)[None, :]
+    ).astype(jnp.float32)  # [P_new, P_old]
+    return _mm(
+        jnp.concatenate(
+            [
+                (cache.cand + 1).astype(jnp.float32),
+                cache.lam_n, cache.lam_1, cache.lam_2,
+            ],
+            axis=0,
+        ),
+        onehot.T,
+    )  # [4K, P]
+
+
+def _middle_core(rows, ia, ib, pvf, prev, vw0,
+                 params: SolverParams, use_stack: bool, kinds=_ALL_KINDS):
+    """Contacts + warm gather + solve from packed operands, shape-generic
+    over ONE leading batch dim (2D per scene / [Eb, ...] blocks inside the
+    fused Pallas kernel). Formula-identical to the staged path: the SAT
+    core, warm re-association and _iter_loop are shared code; the solve
+    setup below mirrors planar_solve line for line (gathering quat/ii and
+    computing the world inverse inertia at pair granularity is elementwise-
+    identical to gathering the per-body result).
+
+    rows [.., 21, N] (_MID_ROWS layout), ia/ib [.., P] i32, pvf [.., P]
+    f32, prev [.., 4K, P] f32 — the key-matched previous pair record from
+    _warm_prev (cand+1 rows then lam rows; the [P, P] key match runs in
+    XLA outside: Mosaic rejects the lane->sublane outer-compare relayout
+    the match build needs), vw0 [.., 6, N].
+    Returns (vwc [.., 7, N] — vel/omega rows + contact-count row,
+    lam [.., 12, P], candf, validf, trigf [.., K, P] f32)."""
+    f32 = jnp.float32
+    nb = rows.shape[-1]
+    p_cap = ia.shape[-1]
+    pair_valid = pvf > 0.5
+
+    # one-hots (values identical to _onehot: iota == idx)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    oh_a = (iota_n == ia[..., None, :]).astype(f32)   # [.., N, P]
+    oh_b = (iota_n == ib[..., None, :]).astype(f32)
+
+    ga = _bmm(rows, oh_a)                              # [.., 21, P]
+    gb = _bmm(rows, oh_b)
+
+    # --- SAT narrowphase (shared core; extra rows past 14 are ignored) --
+    (ptx, pty, ptz, nmx, nmy, nmz, dp, vd, cid, _fr, _re, _tg) = _sat_core(
+        ga, gb, pvf, use_stack=use_stack, kinds=kinds
+    )
+    stk = lambda xs: jnp.stack(xs, axis=-2)            # K-list -> [.., K, P]
+    point = V3(stk(ptx), stk(pty), stk(ptz))
+    n = V3(stk(nmx), stk(nmy), stk(nmz))
+    depth = stk(dp)
+    valid_raw = stk(vd) > 0.5
+    cand = stk(cid)                                    # [.., K, P] i32
+    # pair-level combines as [.., 1, P] keepdim slices (same values as
+    # _sat_core's fr/re/tg, shaped for K-broadcast without expand_dims)
+    fr = ga[..., 11:12, :] * gb[..., 11:12, :]
+    re = ga[..., 12:13, :] * gb[..., 12:13, :]
+    trig = (ga[..., 13:14, :] > 0.0) | (gb[..., 13:14, :] > 0.0)
+    c_valid = valid_raw & ~trig
+    trig_ov = valid_raw & trig
+
+    # --- warm-start slot re-association (planar_gather_warm tail) -------
+    k = _K
+    prev_cand = prev[..., :k, :].astype(jnp.int32) - 1
+    prev_ln = prev[..., k:2 * k, :]
+    prev_l1 = prev[..., 2 * k:3 * k, :]
+    prev_l2 = prev[..., 3 * k:4 * k, :]
+    ln0g = jnp.zeros_like(depth)
+    l10g = jnp.zeros_like(depth)
+    l20g = jnp.zeros_like(depth)
+    for t in range(k):
+        pc_t = prev_cand[..., t:t + 1, :]              # [.., 1, P]
+        mf = ((cand == pc_t) & (pc_t >= 0)).astype(f32)
+        ln0g = ln0g + mf * prev_ln[..., t:t + 1, :]
+        l10g = l10g + mf * prev_l1[..., t:t + 1, :]
+        l20g = l20g + mf * prev_l2[..., t:t + 1, :]
+
+    # --- solve setup (planar_solve in generic form) ---------------------
+    t1, t2 = _tangents(n)
+    pvalid = jnp.any(c_valid, axis=-2, keepdims=True)  # [.., 1, P]
+
+    def side(g):
+        im = g[..., 14:15, :]
+        pos = V3(g[..., 15:16, :], g[..., 16:17, :], g[..., 17:18, :])
+        quat = Q4(g[..., 3:4, :], g[..., 4:5, :], g[..., 5:6, :],
+                  g[..., 6:7, :])
+        ii = V3(g[..., 18:19, :], g[..., 19:20, :], g[..., 20:21, :])
+        r = pl.q_to_mat(quat)
+        iiv = (ii.x, ii.y, ii.z)
+        iw = tuple(
+            tuple(
+                sum(r[i][c] * iiv[c] * r[j][c] for c in range(3))
+                for j in range(3)
+            )
+            for i in range(3)
+        )
+        return im, pos, iw
+
+    im_a, pos_a, iw_a = side(ga)
+    im_b, pos_b, iw_b = side(gb)
+    r_a = point - pos_a                                # [.., K, P]
+    r_b = point - pos_b
+    r_a, r_b = _bar((r_a, r_b))
+
+    def ang(iw_x, r, d):
+        return pl.mvec(iw_x, pl.vcross(r, d))
+
+    def eff_mass(d, a_a, a_b):
+        return (
+            im_a + im_b
+            + pl.vdot(d, pl.vcross(a_a, r_a) + pl.vcross(a_b, r_b))
+        )
+
+    a_an, a_bn = ang(iw_a, r_a, n), ang(iw_b, r_b, n)
+    a_a1, a_b1 = ang(iw_a, r_a, t1), ang(iw_b, r_b, t1)
+    a_a2, a_b2 = ang(iw_a, r_a, t2), ang(iw_b, r_b, t2)
+    kn = jnp.maximum(eff_mass(n, a_an, a_bn), 1e-9)
+    k1 = jnp.maximum(eff_mass(t1, a_a1, a_b1), 1e-9)
+    k2 = jnp.maximum(eff_mass(t2, a_a2, a_b2), 1e-9)
+    (n, t1, t2, a_an, a_bn, a_a1, a_b1, a_a2, a_b2, kn, k1, k2) = _bar(
+        (n, t1, t2, a_an, a_bn, a_a1, a_b1, a_a2, a_b2, kn, k1, k2)
+    )
+
+    oh2 = jnp.concatenate([oh_a, oh_b], axis=-1)       # [.., N, 2P]
+
+    def rel_vel(vw):
+        g = _bmm(vw, oh2)                              # [.., 6, 2P]
+        sa_ = lambda i: g[..., i:i + 1, :p_cap]
+        sb_ = lambda i: g[..., i:i + 1, p_cap:]
+        va = V3(sa_(0), sa_(1), sa_(2))
+        wa = V3(sa_(3), sa_(4), sa_(5))
+        vb = V3(sb_(0), sb_(1), sb_(2))
+        wb = V3(sb_(3), sb_(4), sb_(5))
+        return (va + pl.vcross(wa, r_a)) - (vb + pl.vcross(wb, r_b))
+
+    v0 = rel_vel(vw0)
+    vn0 = pl.vdot(v0, n)
+    bounce = -re * jnp.where(vn0 < -params.restitution_threshold, vn0, 0.0)
+    bias = (params.baumgarte / params.dt) * jnp.maximum(
+        depth - params.slop, 0.0
+    )
+    target = jnp.maximum(bounce, bias)
+
+    # Jacobi relaxation 1/max(touch_a, touch_b)
+    w = jnp.sum(c_valid.astype(f32), axis=-2, keepdims=True) * pvalid
+    cnt1 = _bmm_nt(w, oh_a) + _bmm_nt(w, oh_b)         # [.., 1, N]
+    gcnt = _bmm(cnt1, oh2)                             # [.., 1, 2P]
+    cnt_a = gcnt[..., :, :p_cap]
+    cnt_b = gcnt[..., :, p_cap:]
+    touch_a = jnp.where(im_a > 0, cnt_a, 1.0)
+    touch_b = jnp.where(im_b > 0, cnt_b, 1.0)
+    relax = params.relaxation / jnp.maximum(
+        jnp.maximum(touch_a, touch_b), 1.0
+    )
+
+    # warm-start clamp + pre-application
+    ws = params.warm_start
+    ln0 = jnp.where(c_valid, jnp.maximum(ln0g * ws, 0.0), 0.0)
+    max_f0 = fr * ln0
+    l10 = jnp.clip(jnp.where(c_valid, l10g * ws, 0.0), -max_f0, max_f0)
+    l20 = jnp.clip(jnp.where(c_valid, l20g * ws, 0.0), -max_f0, max_f0)
+    imp = n * ln0 + t1 * l10 + t2 * l20
+    dw_a = a_an * ln0 + a_a1 * l10 + a_a2 * l20
+    dw_b = a_bn * ln0 + a_b1 * l10 + a_b2 * l20
+    lin_a, lin_b = imp * im_a, imp * im_b
+
+    def ksum(x):
+        return jnp.sum(x, axis=-2, keepdims=True)
+
+    upd = jnp.concatenate(
+        [
+            jnp.concatenate([ksum(la), -ksum(lb)], axis=-1)
+            for la, lb in (
+                (lin_a.x, lin_b.x), (lin_a.y, lin_b.y), (lin_a.z, lin_b.z),
+                (dw_a.x, dw_b.x), (dw_a.y, dw_b.y), (dw_a.z, dw_b.z),
+            )
+        ],
+        axis=-2,
+    )                                                  # [.., 6, 2P]
+    vw0 = vw0 + _bmm_nt(upd, oh2)
+
+    q = {
+        "n": n, "t1": t1, "t2": t2, "a_an": a_an, "a_bn": a_bn,
+        "a_a1": a_a1, "a_b1": a_b1, "a_a2": a_a2, "a_b2": a_b2,
+        "r_a": r_a, "r_b": r_b,
+        "kn": kn, "k1": k1, "k2": k2, "target": target,
+        "cvalid": c_valid.astype(f32),
+        "ln0": ln0, "l10": l10, "l20": l20,
+        "im_a": im_a, "im_b": im_b, "relax": relax, "fr": fr,
+    }
+    vw, ln, l1, l2 = _iter_loop(q, oh_a, oh_b, vw0, params.iterations)
+
+    vwc = jnp.concatenate([vw, cnt1], axis=-2)         # [.., 7, N]
+    lam = jnp.concatenate([ln, l1, l2], axis=-2)       # [.., 12, P]
+    kb_ = jnp.broadcast_to
+    shape_kp = depth.shape
+    return (
+        vwc, lam, cand.astype(f32),
+        c_valid.astype(f32),
+        kb_(trig_ov, shape_kp).astype(f32),
+    )
+
+
+def _middle_fleet_pallas(rows, ia, ib, pvf, prev, vw0,
+                         params: SolverParams, kinds=_ALL_KINDS,
+                         interpret=False):
+    """The fused middle as ONE Pallas kernel, grid over 8-env blocks."""
+    from jax.experimental import pallas as plx
+
+    e, s, nb = rows.shape
+    p = ia.shape[-1]
+    eb = int(os.environ.get("SCX_PLANAR_MID_EB", "8"))
+    while eb > 8 and e % eb:
+        eb //= 2
+    if e % eb:
+        eb = e
+    grid = (e // eb,)
+
+    def kernel(rows_ref, ia_ref, ib_ref, pv_ref, prev_ref, vw_ref,
+               vwc_out, lam_out, cand_out, valid_out, trig_out):
+        old = _BARRIERS[0]
+        _BARRIERS[0] = False
+        try:
+            vwc, lam, candf, validf, trigf = _middle_core(
+                rows_ref[...], ia_ref[...], ib_ref[...], pv_ref[...],
+                prev_ref[...], vw_ref[...],
+                params, use_stack=False, kinds=kinds,
+            )
+        finally:
+            _BARRIERS[0] = old
+        vwc_out[...] = vwc
+        lam_out[...] = lam
+        cand_out[...] = candf
+        valid_out[...] = validf
+        trig_out[...] = trigf
+
+    f32 = jnp.float32
+    bs2 = lambda: plx.BlockSpec((eb, p), lambda i: (i, 0))
+    bs3 = lambda d: plx.BlockSpec((eb, d, p), lambda i: (i, 0, 0))
+    out = plx.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            plx.BlockSpec((eb, s, nb), lambda i: (i, 0, 0)),
+            bs2(), bs2(), bs2(),
+            bs3(4 * _K),
+            plx.BlockSpec((eb, 6, nb), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            plx.BlockSpec((eb, 7, nb), lambda i: (i, 0, 0)),
+            bs3(12), bs3(_K), bs3(_K), bs3(_K),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, 7, nb), f32),
+            jax.ShapeDtypeStruct((e, 12, p), f32),
+            jax.ShapeDtypeStruct((e, _K, p), f32),
+            jax.ShapeDtypeStruct((e, _K, p), f32),
+            jax.ShapeDtypeStruct((e, _K, p), f32),
+        ],
+        interpret=interpret,
+    )(rows, ia, ib, pvf, prev, vw0)
+    return tuple(out)
+
+
+_MIDDLE_OK: dict = {}
+
+
+def _middle_supported(mkey) -> bool:
+    """One-time Mosaic probe for the fused middle kernel (per static
+    solver-parameter key), mirroring _kernel_supported."""
+    if mkey not in _MIDDLE_OK:
+        params, kinds = mkey
+        try:
+            rows = jnp.zeros((8, _MID_ROWS, 64), jnp.float32)
+            pi = jnp.zeros((8, 128), jnp.int32)
+            pf = jnp.zeros((8, 128), jnp.float32)
+            prev = jnp.zeros((8, 4 * _K, 128), jnp.float32)
+            vw = jnp.zeros((8, 6, 64), jnp.float32)
+            jax.jit(
+                lambda *a: _middle_fleet_pallas(
+                    *a, params=params, kinds=kinds
+                )
+            ).lower(rows, pi, pi, pf, prev, vw).compile()
+            _MIDDLE_OK[mkey] = True
+        except Exception as exc:
+            from scx.core.log import warn
+
+            warn(
+                "planar: fused middle kernel rejected (%s); using the "
+                "staged path. %s", type(exc).__name__, str(exc)[:200],
+            )
+            _MIDDLE_OK[mkey] = False
+    return _MIDDLE_OK[mkey]
+
+
+_MIDDLE_DISPATCH: dict = {}
+
+
+def _middle_dispatch(params: SolverParams, kinds=_ALL_KINDS):
+    """custom_vmap dispatcher for the fused middle (same pattern as
+    _sat_dispatch / _solve_iterate)."""
+    kinds = tuple(kinds)
+    key = (params, kinds)
+    if key in _MIDDLE_DISPATCH:
+        return _MIDDLE_DISPATCH[key]
+
+    @jax.custom_batching.custom_vmap
+    def mid(rows, ia, ib, pvf, prev, vw0):
+        return _middle_core(rows, ia, ib, pvf, prev, vw0,
+                            params, use_stack=True, kinds=kinds)
+
+    @mid.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        if not all(in_batched):
+            args = tuple(
+                x if bt else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, bt in zip(args, in_batched)
+            )
+        use_kernel = (
+            args[0].ndim == 3
+            and args[1].shape[-1] % 128 == 0
+            and args[0].shape[0] % 8 == 0
+            and jax.default_backend() != "cpu"
+            and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
+            and os.environ.get("SCX_PLANAR_NO_FUSED", "0") != "1"
+            and _middle_supported(key)
+        )
+        if use_kernel:
+            out = _middle_fleet_pallas(*args, params=params, kinds=kinds)
+        else:
+            out = jax.vmap(
+                lambda *a: _middle_core(
+                    *a, params=params, use_stack=True, kinds=kinds
+                )
+            )(*args)
+        return out, tuple(True for _ in out)
+
+    _MIDDLE_DISPATCH[key] = mid
+    return _MIDDLE_DISPATCH[key]
+
+
+def _middle_rows(b: PlanarBodies):
+    """Pack the _MID_ROWS operand planes ([21, N]; leading dims vmap)."""
+    centers = _shape_centers(b)
+    return jnp.stack(
+        [
+            centers.x, centers.y, centers.z,
+            b.quat.w, b.quat.x, b.quat.y, b.quat.z,
+            b.shape.astype(jnp.float32),
+            b.size.x, b.size.y, b.size.z,
+            b.friction, b.restitution,
+            b.trigger.astype(jnp.float32),
+            b.inv_mass,
+            b.pos.x, b.pos.y, b.pos.z,
+            b.inv_inertia.x, b.inv_inertia.y, b.inv_inertia.z,
+        ],
+        axis=-2,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1530,14 +1942,31 @@ def step_planar_cached(b: PlanarBodies, params: SolverParams,
     """One fixed physics step: integrate -> broadphase -> contacts ->
     warm-started solve -> sleep -> integrate positions. Pure and
     shape-static; vmap over scenes; scan over substeps with
-    (bodies, cache) carry. Returns (bodies, cache, stats)."""
+    (bodies, cache) carry. Returns (bodies, cache, stats).
+
+    The middle (contacts + warm gather + solve) runs through the fused
+    dispatcher — one Pallas kernel per fleet on TPU-class backends, the
+    same formulas staged through XLA elsewhere."""
     b = planar_integrate_velocities(b, params.dt, params.gravity)
     ia, ib, pair_valid, n_cand = planar_broadphase(b, params.max_pairs)
-    con = planar_contacts(b, ia, ib, pair_valid, params.shape_kinds)
-    lam0 = planar_gather_warm(cache, ia, ib, pair_valid, con.cand, key_id)
-    vel, omega, (ln, l1, l2), cnt = planar_solve(
-        b, con, params, ia, ib, lam0
+    ka, kb = _pair_keys(ia, ib, pair_valid, key_id)
+    rows = _middle_rows(b)
+    vw0 = jnp.stack(
+        [b.vel.x, b.vel.y, b.vel.z, b.omega.x, b.omega.y, b.omega.z],
+        axis=-2,
     )
+    prev = _warm_prev(cache, ka, kb, pair_valid)
+    vwc, lam, candf, validf, trigf = _middle_dispatch(
+        params, params.shape_kinds
+    )(rows, ia, ib, pair_valid.astype(jnp.float32), prev, vw0)
+    vel = V3(vwc[..., 0, :], vwc[..., 1, :], vwc[..., 2, :])
+    omega = V3(vwc[..., 3, :], vwc[..., 4, :], vwc[..., 5, :])
+    cnt = vwc[..., 6, :]
+    ln = lam[..., :_K, :]
+    l1 = lam[..., _K:2 * _K, :]
+    l2 = lam[..., 2 * _K:, :]
+    cand = candf.astype(jnp.int32)
+    c_valid = validf > 0.5
 
     dyn = (b.inv_mass > 0) & b.active
     low = (pl.vdot(vel, vel) < params.sleep_lin**2) & (
@@ -1550,11 +1979,18 @@ def step_planar_cached(b: PlanarBodies, params: SolverParams,
     omega = pl.vwhere(asleep, V3(zero, zero, zero), omega)
     b = b.replace(vel=vel, omega=omega, sleep_timer=timer)
 
-    cache = planar_store(cache, ia, ib, pair_valid, con, ln, l1, l2, key_id)
+    cache = cache.replace(
+        key_a=ka,
+        key_b=kb,
+        cand=jnp.where(c_valid, cand, -1).astype(jnp.int32),
+        lam_n=jnp.where(c_valid, ln, 0.0),
+        lam_1=jnp.where(c_valid, l1, 0.0),
+        lam_2=jnp.where(c_valid, l2, 0.0),
+    )
     stats = {
         "pairs": jnp.sum(pair_valid.astype(jnp.int32)),
         "pair_overflow": jnp.maximum(n_cand - params.max_pairs, 0),
-        "contacts": jnp.sum(con.valid.astype(jnp.int32)),
-        "trigger_overlaps": jnp.sum(con.trigger_overlap.astype(jnp.int32)),
+        "contacts": jnp.sum(validf > 0.5),
+        "trigger_overlaps": jnp.sum(trigf > 0.5),
     }
     return planar_integrate_positions(b, params.dt), cache, stats

@@ -353,9 +353,9 @@ def test_solve_fleet_pallas_interpret_matches_ref(n_envs):
 
         def spy(iters):
             fn = orig(iters)
-            def wrapper(jac, oa, ob, oat, obt, vw0):
+            def wrapper(jac, oa, ob, vw0):
                 captured.update(jac=jac, oa=oa, ob=ob, vw0=vw0)
-                return fn(jac, oa, ob, oat, obt, vw0)
+                return fn(jac, oa, ob, vw0)
             return wrapper
         pp._solve_iterate = spy
         try:
@@ -368,14 +368,12 @@ def test_solve_fleet_pallas_interpret_matches_ref(n_envs):
         vws.append(captured["vw0"])
     jac = jnp.stack(jacs)
     oa, ob = jnp.stack(ohas), jnp.stack(ohbs)
-    oat = jnp.swapaxes(oa, 1, 2)
-    obt = jnp.swapaxes(ob, 1, 2)
     vw0 = jnp.stack(vws)
     ref_vw, ref_lam = jax.vmap(
         lambda *a: pp._solve_iter_core(*a, iterations=params.iterations)
-    )(jac, oa, ob, oat, obt, vw0)
+    )(jac, oa, ob, vw0)
     ker_vw, ker_lam = pp._solve_fleet_pallas(
-        jac, oa, ob, oat, obt, vw0,
+        jac, oa, ob, vw0,
         iterations=params.iterations, interpret=True,
     )
     np.testing.assert_allclose(
@@ -462,3 +460,107 @@ def test_shape_kinds_box_specialization_matches():
     np.testing.assert_allclose(
         np.asarray(sg.pos.y), np.asarray(sb.pos.y), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# fused middle (contacts + warm + solve in one dispatchable unit)
+# ---------------------------------------------------------------------------
+
+def _staged_step(b, params, cache, key_id=None):
+    """The pre-fusion staged step, kept as the equivalence reference for
+    the fused middle (same stage functions step_planar_cached used before
+    the fusion; the fused primal must reproduce it)."""
+    b = pp.planar_integrate_velocities(b, params.dt, params.gravity)
+    ia, ib, val, n_cand = pp.planar_broadphase(b, params.max_pairs)
+    con = pp.planar_contacts(b, ia, ib, val, params.shape_kinds)
+    lam0 = pp.planar_gather_warm(cache, ia, ib, val, con.cand, key_id)
+    vel, om, (ln, l1, l2), cnt = pp.planar_solve(b, con, params, ia, ib, lam0)
+    dyn = (b.inv_mass > 0) & b.active
+    low = (pp.pl.vdot(vel, vel) < params.sleep_lin**2) & (
+        pp.pl.vdot(om, om) < params.sleep_ang**2
+    )
+    timer = jnp.where(dyn & low, b.sleep_timer + params.dt, 0.0)
+    asleep = (timer > params.sleep_time) & (cnt > 0)
+    zero = jnp.zeros_like(vel.x)
+    vel = pp.pl.vwhere(asleep, pp.V3(zero, zero, zero), vel)
+    om = pp.pl.vwhere(asleep, pp.V3(zero, zero, zero), om)
+    b = b.replace(vel=vel, omega=om, sleep_timer=timer)
+    cache = pp.planar_store(cache, ia, ib, val, con, ln, l1, l2, key_id)
+    return pp.planar_integrate_positions(b, params.dt), cache
+
+
+@pytest.mark.parametrize("with_caps", [False, True])
+def test_fused_step_matches_staged(with_caps):
+    """step_planar_cached (fused middle primal) reproduces the staged
+    stage-function composition over a 40-step settling trajectory,
+    including the warm-start cache contents."""
+    params = SolverParams(max_pairs=128, iterations=6)
+    b = pp.planar_from_rigid(mixed_scene(seed=11, with_caps=with_caps))
+    cf = pp.empty_planar_cache(params.max_pairs)
+    cs = pp.empty_planar_cache(params.max_pairs)
+    bf, bs = b, b
+    for i in range(40):
+        bf, cf, _ = pp.step_planar_cached(bf, params, cf)
+        bs, cs = _staged_step(bs, params, cs)
+    np.testing.assert_allclose(
+        np.asarray(bf.pos.y), np.asarray(bs.pos.y), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bf.vel.x), np.asarray(bs.vel.x), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cf.key_a), np.asarray(cs.key_a)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cf.cand), np.asarray(cs.cand)
+    )
+    np.testing.assert_allclose(
+        np.asarray(cf.lam_n), np.asarray(cs.lam_n), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("n_envs", [8, 16])
+def test_fused_middle_pallas_interpret_matches_primal(n_envs):
+    """The fused middle Pallas kernel (the on-TPU fleet path) matches the
+    per-scene primal on a warm mixed fleet: velocities, impulses and the
+    discrete contact outputs."""
+    params = SolverParams(max_pairs=128, iterations=6)
+    rows_l, ia_l, ib_l, pv_l, ka_l, vw_l = [], [], [], [], [], []
+    for e in range(n_envs):
+        b = pp.planar_from_rigid(
+            mixed_scene(seed=90 + e, with_caps=(e % 2 == 0))
+        )
+        cache = pp.empty_planar_cache(params.max_pairs)
+        # two staged steps to warm the cache so the warm-gather path is live
+        for _ in range(2):
+            b, cache = _staged_step(b, params, cache)
+        b = pp.planar_integrate_velocities(b, params.dt, params.gravity)
+        ia, ib, val, _ = pp.planar_broadphase(b, params.max_pairs)
+        ka, kb = pp._pair_keys(ia, ib, val, None)
+        rows_l.append(pp._middle_rows(b))
+        ia_l.append(ia); ib_l.append(ib)
+        pv_l.append(val.astype(jnp.float32))
+        ka_l.append(pp._warm_prev(cache, ka, kb, val))
+        vw_l.append(jnp.stack(
+            [b.vel.x, b.vel.y, b.vel.z, b.omega.x, b.omega.y, b.omega.z],
+            axis=-2))
+    args = tuple(
+        jnp.stack(x) for x in (rows_l, ia_l, ib_l, pv_l, ka_l, vw_l)
+    )
+    ref = jax.vmap(
+        lambda *a: pp._middle_core(
+            *a, params=params, use_stack=True, kinds=params.shape_kinds)
+    )(*args)
+    ker = pp._middle_fleet_pallas(
+        *args, params=params, kinds=params.shape_kinds, interpret=True
+    )
+    vwc_r, lam_r, cand_r, val_r, trig_r = [np.asarray(x) for x in ref]
+    vwc_k, lam_k, cand_k, val_k, trig_k = [np.asarray(x) for x in ker]
+    # discrete contract: graze-depth validity flips only (same as the SAT
+    # kernel test); both-valid slots must agree on candidate ids
+    both = (val_r > 0.5) & (val_k > 0.5)
+    assert both.sum() > 40
+    np.testing.assert_array_equal(cand_k[both], cand_r[both])
+    np.testing.assert_array_equal(trig_k, trig_r)
+    np.testing.assert_allclose(vwc_k, vwc_r, atol=5e-5)
+    np.testing.assert_allclose(lam_k, lam_r, atol=5e-4)
