@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--sat", action="store_true", help="SAT benches only")
     ap.add_argument("--solve", action="store_true", help="solve benches only")
+    ap.add_argument("--mid", action="store_true",
+                    help="fused middle kernel bench only")
     ap.add_argument("--quiet-wait", type=float, default=45.0)
     args = ap.parse_args()
     if args.cpu:
@@ -51,7 +53,7 @@ def main():
     interp = jax.default_backend() == "cpu"
 
     E, NB, P, N = args.envs, args.bodies, args.pairs, args.iters
-    both = not (args.sat or args.solve)
+    both = not (args.sat or args.solve or args.mid)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 12)
 
@@ -125,6 +127,36 @@ def main():
         sargs = (jac, oh_a, oh_b, vw0)
         runs.append(("solve_kernel", jax.jit(chain_solve_kernel), sargs))
         runs.append(("solve_xla", jax.jit(chain_solve_xla), sargs))
+
+    if args.mid:
+        from scx import physics as ph
+
+        params = ph.SolverParams(
+            max_pairs=P, iterations=args.solve_iters, shape_kinds=("box",)
+        )
+        import bench as bench_mod
+
+        batch = jax.vmap(pp.planar_from_rigid)(bench_mod.build_batch(E, NB))
+        rows = jax.vmap(pp._middle_rows)(batch)
+        ia = jax.random.randint(ks[6], (E, P), 0, NB)
+        ib = jax.random.randint(ks[7], (E, P), 0, NB)
+        pvf = jnp.ones((E, P), jnp.float32)
+        prev = jnp.zeros((E, 4 * pp._K, P), jnp.float32)
+        vw0 = jax.random.normal(ks[8], (E, 6, NB), jnp.float32) * 0.1
+
+        def chain_mid(rows, ia, ib, pvf, prev, vw0):
+            def body(c, _):
+                rows, vw0 = c
+                out = pp._middle_fleet_pallas(
+                    rows, ia, ib, pvf, prev, vw0,
+                    params=params, kinds=("box",), interpret=interp,
+                )
+                d = jnp.sum(out[0][:, :1, :1]) * 1e-12
+                return (rows + d, out[0][:, :6, :]), None
+            return jax.lax.scan(body, (rows, vw0), None, length=N)[0]
+
+        runs.append(("mid_kernel", jax.jit(chain_mid),
+                     (rows, ia, ib, pvf, prev, vw0)))
 
     def force(out):
         return float(sum(jnp.sum(jnp.asarray(o)) for o in jax.tree.leaves(out)))

@@ -1188,15 +1188,19 @@ def _iter_loop(q, oh_a, oh_b, vw0, iterations: int):
     im_a, im_b = q["im_a"], q["im_b"]
     relax, fr = q["relax"], q["fr"]
     cv = q["cvalid"] > 0.5
+    # both sides in ONE MXU dot per direction: gather [.., 6, N] @
+    # [.., N, 2P], scatter [.., 6, 2P] x [.., N, 2P] contracted over 2P
+    oh2 = jnp.concatenate([oh_a, oh_b], axis=-1)
+    p_cap = oh_a.shape[-1]
 
     def one_pass(vw, ln, l1, l2):
-        ga = _bmm(vw, oh_a)                    # [..., 6, P]
-        gb = _bmm(vw, oh_b)
-        s6 = lambda g, i: g[..., i:i + 1, :]   # [..., 1, P] over K
-        va = V3(s6(ga, 0), s6(ga, 1), s6(ga, 2))
-        wa = V3(s6(ga, 3), s6(ga, 4), s6(ga, 5))
-        vb = V3(s6(gb, 0), s6(gb, 1), s6(gb, 2))
-        wb = V3(s6(gb, 3), s6(gb, 4), s6(gb, 5))
+        g = _bmm(vw, oh2)                      # [..., 6, 2P]
+        sa_ = lambda i: g[..., i:i + 1, :p_cap]
+        sb_ = lambda i: g[..., i:i + 1, p_cap:]
+        va = V3(sa_(0), sa_(1), sa_(2))
+        wa = V3(sa_(3), sa_(4), sa_(5))
+        vb = V3(sb_(0), sb_(1), sb_(2))
+        wb = V3(sb_(3), sb_(4), sb_(5))
         v = (va + pl.vcross(wa, r_a)) - (vb + pl.vcross(wb, r_b))
 
         vn = pl.vdot(v, n)
@@ -1225,15 +1229,18 @@ def _iter_loop(q, oh_a, oh_b, vw0, iterations: int):
         def ksum(x):                            # [..., K, P] -> [..., 1, P]
             return jnp.sum(x, axis=-2, keepdims=True)
 
-        upd_a = jnp.concatenate(
-            [ksum(lin_a.x), ksum(lin_a.y), ksum(lin_a.z),
-             ksum(dw_a.x), ksum(dw_a.y), ksum(dw_a.z)], axis=-2
-        )  # [..., 6, P]
-        upd_b = jnp.concatenate(
-            [ksum(lin_b.x), ksum(lin_b.y), ksum(lin_b.z),
-             ksum(dw_b.x), ksum(dw_b.y), ksum(dw_b.z)], axis=-2
-        )
-        vw = vw + _bmm_nt(upd_a, oh_a) - _bmm_nt(upd_b, oh_b)
+        upd = jnp.concatenate(
+            [
+                jnp.concatenate([ksum(la), -ksum(lb)], axis=-1)
+                for la, lb in (
+                    (lin_a.x, lin_b.x), (lin_a.y, lin_b.y),
+                    (lin_a.z, lin_b.z),
+                    (dw_a.x, dw_b.x), (dw_a.y, dw_b.y), (dw_a.z, dw_b.z),
+                )
+            ],
+            axis=-2,
+        )                                       # [..., 6, 2P]
+        vw = vw + _bmm_nt(upd, oh2)
         return vw, ln_new, l1_new, l2_new
 
     vw = vw0
