@@ -171,9 +171,15 @@ class CityRLEnv:
             ),
         )
         # warm-started 6-iteration solve == cold-8 quality (tower test in
-        # test_physics_solver.py; same setting as the sandbox and bench.py)
+        # test_physics_solver.py; same setting as the sandbox and bench.py).
+        # shape_kinds=("box",): every body the city content spawns (props,
+        # buildings, vehicle chassis) is a box — the narrowphase drops its
+        # sphere/capsule generators (~2x smaller SAT kernel body).
         self.sim = SimParams(
-            solver=SolverParams(iterations=cfg.physics.solver_iterations)
+            solver=SolverParams(
+                iterations=cfg.physics.solver_iterations,
+                shape_kinds=("box",),
+            )
         )
         if obs_mode not in ("rgbd", "state"):
             raise ValueError(f"obs_mode {obs_mode!r} not in ('rgbd','state')")

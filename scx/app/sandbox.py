@@ -292,6 +292,9 @@ class Sandbox:
                 dt=self.cfg.physics.fixed_dt,
                 iterations=self.cfg.physics.solver_iterations,
                 max_pairs=256,
+                # box-only content (props/buildings/chassis) — drops the
+                # sphere/capsule narrowphase generators
+                shape_kinds=("box",),
             ),
             vehicle=VehicleParams(),
         )

@@ -1848,16 +1848,20 @@ _MIDDLE_OK: dict = {}
 
 
 def _middle_supported(mkey) -> bool:
-    """One-time Mosaic probe for the fused middle kernel (per static
-    solver-parameter key), mirroring _kernel_supported."""
+    """One-time Mosaic probe for the fused middle kernel, keyed by the
+    static solver parameters AND the (N, P) shape: VMEM use scales with
+    both (N=512-capacity scenes at eb=8 need 23 MB against the 16 MB
+    scoped limit — measured 2026-08-21), so a fit at the 64x128 headline
+    shape says nothing about a 512-capacity GLB env. A rejected shape
+    falls back to the vmapped XLA primal."""
     if mkey not in _MIDDLE_OK:
-        params, kinds = mkey
+        params, kinds, nb, p = mkey
         try:
-            rows = jnp.zeros((8, _MID_ROWS, 64), jnp.float32)
-            pi = jnp.zeros((8, 128), jnp.int32)
-            pf = jnp.zeros((8, 128), jnp.float32)
-            prev = jnp.zeros((8, 4 * _K, 128), jnp.float32)
-            vw = jnp.zeros((8, 6, 64), jnp.float32)
+            rows = jnp.zeros((8, _MID_ROWS, nb), jnp.float32)
+            pi = jnp.zeros((8, p), jnp.int32)
+            pf = jnp.zeros((8, p), jnp.float32)
+            prev = jnp.zeros((8, 4 * _K, p), jnp.float32)
+            vw = jnp.zeros((8, 6, nb), jnp.float32)
             jax.jit(
                 lambda *a: _middle_fleet_pallas(
                     *a, params=params, kinds=kinds
@@ -1868,8 +1872,9 @@ def _middle_supported(mkey) -> bool:
             from scx.core.log import warn
 
             warn(
-                "planar: fused middle kernel rejected (%s); using the "
-                "staged path. %s", type(exc).__name__, str(exc)[:200],
+                "planar: fused middle kernel rejected at N=%d P=%d (%s); "
+                "using the staged path. %s", nb, p, type(exc).__name__,
+                str(exc)[:200],
             )
             _MIDDLE_OK[mkey] = False
     return _MIDDLE_OK[mkey]
@@ -1905,7 +1910,9 @@ def _middle_dispatch(params: SolverParams, kinds=_ALL_KINDS):
             and jax.default_backend() != "cpu"
             and os.environ.get("SCX_PLANAR_NO_PALLAS", "0") != "1"
             and os.environ.get("SCX_PLANAR_NO_FUSED", "0") != "1"
-            and _middle_supported(key)
+            and _middle_supported(
+                key + (args[0].shape[-1], args[1].shape[-1])
+            )
         )
         if use_kernel:
             out = _middle_fleet_pallas(*args, params=params, kinds=kinds)
