@@ -47,7 +47,10 @@ TARGET = 1_000_000.0
 # Secondaries: hard budgets, slow-machine case assumed (round-2 lesson:
 # the driver box ran 4x slower than the dev box and the old 2400-3600 s
 # per-script timeouts starved the primary line entirely).
-SECONDARY_TOTAL_BUDGET_S = 1500.0  # ~25 min wall for ALL secondaries
+SECONDARY_TOTAL_BUDGET_S = 1800.0  # ~30 min wall for ALL secondaries
+# (bar-carrying benches run first, so a driver-side outer kill can only
+# cost the tail extras; 2026-08-21 warm-cache rehearsal: city+rlenv+glb+
+# bigscene ≈ 23 min, spatial needs ~5 more)
 SECONDARY_SCRIPT_TIMEOUT_S = 700.0  # per-script cap (rlenv: ~6 min env
 # build+upload at 4096 envs on a 1-cpu box even with a warm compile cache,
 # measured 2026-08-19; the primary line is already out, so a generous cap
