@@ -18,9 +18,11 @@ verts, tris = build_city_mesh(grid=22, subdiv=4, ground=24, seed=7)
 print("city chunk:", len(tris), "tris", len(verts), "verts", flush=True)
 
 pool = build_mesh_pool([(verts, tris)])
-KC = 256
+KC = int(os.environ.get("KC", "256"))
+TILE_H = int(os.environ.get("TILE_H", "64"))  # 720/64 pads to 12 rows
 params = rd.RasterParams(width=1280, height=720, max_tris=131072,
-                         max_clusters_per_tile=KC, min_area2=0.25, interpret=False)
+                         max_clusters_per_tile=KC, min_area2=0.25,
+                         tile_h=TILE_H, interpret=False)
 draws = rd.DrawList(mesh_id=jnp.zeros((1,), jnp.int32), material_id=jnp.zeros((1,), jnp.int32),
                     model=jnp.eye(4)[None], valid=jnp.ones((1,), bool))
 # street-level camera looking down an avenue
